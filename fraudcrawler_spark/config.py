@@ -1,0 +1,84 @@
+"""Engine constants mirroring the reference's settings.
+
+Reference: /root/reference/fraudcrawler/settings.py (values observed, not
+copied as code): retry policy 3x/2s (settings.py:4-5), enrichment limit 10
+(settings.py:13), Zyte probability threshold 0.1 (settings.py:16),
+classification default -1 (settings.py:20,26), prompt template with its
+literal ``\\n`` typo (settings.py:21-23), 10 workers/stage (settings.py:29-31).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Filter thresholds / defaults (reference settings.py:16,20,26)
+PROBABILITY_THRESHOLD = 0.1
+DEFAULT_IF_MISSING = -1
+DEFAULT_IS_RELEVANT = -1
+
+# Enrichment (reference settings.py:13)
+ENRICHMENT_DEFAULT_LIMIT = 10
+
+# The user-prompt template, byte-exact incl. the literal ``\\n`` typo
+# (reference settings.py:21-23).
+USER_PROMPT_TEMPLATE = (
+    "Context: {context}\n\nProduct Details: {name}\n{description}\\n\nRelevance:"
+)
+
+# Default marketplace when no dim row matches (reference serp.py:29)
+DEFAULT_MARKETPLACE = "Google"
+
+# Stage names used for filtered_at_stage provenance (reference
+# serp.py:177, orchestrator.py:173-175,179-181,230).
+STAGE_COUNTRY = "country code filtering"
+STAGE_DEDUP_CURRENT = "URL collection (current run deduplication)"
+STAGE_DEDUP_PREVIOUS = "URL collection (previous run deduplication)"
+STAGE_PROBABILITY = "Zyte probability threshold"
+
+# Frontier defaults (target-side, BASELINE.json north_rule)
+SEEN_PARTITIONS = 32          # Bloom segment partitions (hash of canonical_url)
+BLOOM_BITS_PER_KEY = 10       # ~1% FP at k=7
+BLOOM_NUM_HASHES = 7
+HOST_SALT_SHARDS = 4          # salt shards for skewed hosts
+DEFAULT_HOST_BUDGET = 64      # per-host fetches per round (politeness)
+DEFAULT_MAX_DEPTH = 3
+
+
+@dataclass(frozen=True)
+class Prompt:
+    """Classification prompt config (reference base/base.py:107-114)."""
+
+    name: str
+    context: str
+    system_prompt: str = ""
+    allowed_classes: tuple[int, ...] = (0, 1)
+    default_if_missing: int = DEFAULT_IF_MISSING
+
+
+@dataclass(frozen=True)
+class Enrichment:
+    """Reference base/base.py:93-97."""
+
+    additional_terms: int
+    additional_urls_per_term: int
+
+
+@dataclass(frozen=True)
+class Deepness:
+    """Reference base/base.py:100-104."""
+
+    num_results: int
+    enrichment: Enrichment | None = None
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Frontier-engine job config (target-side)."""
+
+    country_code: str = "ch"
+    probability_threshold: float = PROBABILITY_THRESHOLD
+    max_depth: int = DEFAULT_MAX_DEPTH
+    host_budget: int = DEFAULT_HOST_BUDGET
+    seen_partitions: int = SEEN_PARTITIONS
+    salt_shards: int = HOST_SALT_SHARDS
+    prompts: tuple[Prompt, ...] = field(default_factory=tuple)

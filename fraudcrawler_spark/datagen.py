@@ -1,0 +1,282 @@
+"""M0 — deterministic synthetic crawl corpus (seed 42, no external data).
+
+Generates the canonical input table ``pages`` exactly per
+BASELINE.json ``input_hint`` — (url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string) — plus the dimension tables seeds/hosts/
+excluded_hosts/robots/prompts (FIXTURES.md §A).
+
+Design points:
+- Host sizes are Zipf(s=1.2)-distributed so the biggest host is heavily
+  skewed — this deliberately stresses host salting in the scheduler.
+- ``html`` embeds product fields, a probability meta tag and ``<a href>``
+  out-links (the crawl graph); hrefs use four syntactic variants
+  (https://, http://, www.-prefixed schemeless, bare schemeless) to
+  exercise URL canonicalization (reference serp.py:50-74 quirks).
+- ``text`` is produced by the same ``html_to_text`` kernel the engine's
+  extract stage uses, so the byte-identical-text invariant is checked
+  end-to-end (BASELINE.json input_hint).
+- ~10% of pages carry no product fields (null extracts, reference
+  zyte.py:119-156) and ~5% omit the probability tag (reference quirk:
+  fields still extracted, probability stays null, row NOT flagged —
+  orchestrator.py:208-235 assigns fields before extract_probability
+  raises on float(None)).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+BASE_TS = datetime(2025, 5, 23, 0, 0, 0, tzinfo=timezone.utc)
+
+TERMS = ["sildenafil", "kuehlschrank", "vitamin", "aspirin"]
+TLDS = ["ch", "com", "it", "de", "fr"]
+LANGS = ["de", "fr", "it", "en"]
+
+_TAG_RE = re.compile(r"<[^>]+>")
+_HREF_RE = re.compile(r'<a\s+href="([^"]+)"')
+_TITLE_RE = re.compile(r"<title>([^<]*)</title>")
+_PRICE_RE = re.compile(r'<span class="price">([^<]*)</span>')
+_DESC_RE = re.compile(r'<p class="description">([^<]*)</p>')
+_IMG_MAIN_RE = re.compile(r'<img class="main" src="([^"]*)"')
+_IMG_RE = re.compile(r'<img(?! class="main") src="([^"]*)"')
+_PROB_RE = re.compile(r'<meta name="product:probability" content="([^"]*)"')
+
+
+def html_to_text(html: str) -> str:
+    """Canonical HTML→text kernel: strip tags, trim, drop empty lines.
+
+    This single definition is shared by the corpus generator (writes the
+    golden ``text`` column) and the extract stage, enforcing the
+    byte-identical-text-per-url invariant by construction and verified by
+    tests comparing kernel(html) == stored text.
+    """
+    raw = _TAG_RE.sub("\n", html)
+    lines = [ln.strip() for ln in raw.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_fields(html: str) -> dict:
+    """Pure-python single-doc extraction (used by kernels + trace oracle).
+
+    Mirrors the reference's Zyte field extraction semantics
+    (zyte.py:119-194): null-safe scalar gets, main image first then extra
+    images, probability as float-or-None.
+    """
+    m = _TITLE_RE.search(html)
+    name = m.group(1) if m and m.group(1) else None
+    m = _PRICE_RE.search(html)
+    price = m.group(1) if m and m.group(1) else None
+    m = _DESC_RE.search(html)
+    desc = m.group(1) if m and m.group(1) else None
+    images = [u for u in _IMG_MAIN_RE.findall(html) if u]
+    images += [u for u in _IMG_RE.findall(html) if u]
+    m = _PROB_RE.search(html)
+    prob = float(m.group(1)) if m else None
+    return {
+        "product_name": name,
+        "product_price": price,
+        "product_description": desc,
+        "product_images": images,
+        "probability": prob,
+    }
+
+
+def extract_links(html: str) -> list[str]:
+    """All <a href> values in document order (raw, un-canonicalized)."""
+    return _HREF_RE.findall(html)
+
+
+def _host_of(i: int, n_hosts: int) -> str:
+    return f"shop{i % n_hosts}.{TLDS[i % len(TLDS)]}"
+
+
+def generate_pages(n_pages: int, n_hosts: int | None = None) -> pd.DataFrame:
+    """Deterministic page corpus with Zipf host skew and an embedded link graph."""
+    n_hosts = n_hosts or max(8, n_pages // 50)
+    rng = np.random.RandomState(SEED)
+    # Zipf host assignment: rank r gets mass ~ r^-1.2
+    zipf_draw = rng.zipf(1.2, size=n_pages)
+    host_idx = (zipf_draw - 1) % n_hosts
+
+    rows = []
+    for pid in range(n_pages):
+        hi = int(host_idx[pid])
+        host = _host_of(hi, n_hosts)
+        private = pid % 33 == 0  # ~3% robots-disallowed paths
+        path = f"/private/p{pid:06d}" if private else f"/p{pid:06d}"
+        url = f"https://{host}{path}"
+        lang = LANGS[hi % len(LANGS)]
+        ts = BASE_TS + timedelta(minutes=pid % 10080)
+
+        has_product = pid % 10 != 3  # ~10% no product fields
+        has_prob = pid % 20 != 7  # ~5% omit probability meta
+        term = TERMS[pid % len(TERMS)]
+
+        # out-links: 7 distinct targets + 1 duplicate of the first (~12% dup)
+        targets = [(pid * 31 + k * 101 + 7) % n_pages for k in range(7)]
+        targets.append(targets[0])
+        hrefs = []
+        for k, t in enumerate(targets):
+            th = _host_of(int(host_idx[t]), n_hosts)
+            tprivate = t % 33 == 0
+            tpath = f"/private/p{t:06d}" if tprivate else f"/p{t:06d}"
+            # four syntactic variants, all canonicalizing to https://{th}{tpath}
+            v = k % 4
+            if v == 0:
+                hrefs.append(f"https://{th}{tpath}")
+            elif v == 1:
+                hrefs.append(f"www.{th}{tpath}")
+            elif v == 2:
+                hrefs.append(f"http://{th}{tpath}")
+            else:
+                hrefs.append(f"{th}{tpath}")
+
+        parts = ["<html><head><meta charset=\"utf-8\">"]
+        if has_product:
+            name = f"{term} product {pid}"
+            parts.append(f"<title>{name}</title>")
+        else:
+            parts.append("<title></title>")
+        if has_prob:
+            prob = ((pid * 37) % 100) / 100.0
+            parts.append(
+                f'<meta name="product:probability" content="{prob:.2f}">'
+            )
+        parts.append("</head><body>")
+        if has_product:
+            price = f"{(pid % 9000) / 100 + 5:.2f} CHF"
+            desc = (
+                f"Buy {term} now at {host}. Item {pid} ships from warehouse "
+                f"{pid % 17} with quality grade {pid % 5}."
+            )
+            parts.append(f"<h1>{term} product {pid}</h1>")
+            parts.append(f'<span class="price">{price}</span>')
+            parts.append(f'<img class="main" src="https://{host}/img/{pid}_main.jpg">')
+            for j in range(pid % 3):
+                parts.append(f'<img src="https://{host}/img/{pid}_{j}.jpg">')
+            parts.append(f'<p class="description">{desc}</p>')
+        parts.append('<ul class="links">')
+        for k, href in enumerate(hrefs):
+            parts.append(f'<li><a href="{href}">link {k}</a></li>')
+        parts.append("</ul></body></html>")
+        html = "\n".join(parts)
+
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": html.encode("utf-8"),
+                "text": html_to_text(html),
+                "lang": lang,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def generate_seeds() -> pd.DataFrame:
+    """Seed/search requests (reference orchestrator.py:389-399 analog)."""
+    rows = []
+    for i, term in enumerate(TERMS):
+        rows.append(
+            {
+                "search_term": term,
+                "search_term_type": "initial",
+                "num_results": 20,
+                "language_code": "de",
+                "location_code": "ch",
+                "priority": i,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def generate_hosts(n_hosts: int) -> pd.DataFrame:
+    """Marketplace dim (reference base/base.py:42-52). host_idx preserves
+    first-match-in-list-order priority (serp.py:184-189); shop0 domain
+    appears in two marketplaces to exercise that rule."""
+    rows = [
+        {"name": "AlphaMarket", "domains": [_host_of(0, n_hosts), _host_of(1, n_hosts)], "host_idx": 0},
+        {"name": "BetaBazaar", "domains": [_host_of(0, n_hosts), _host_of(2, n_hosts)], "host_idx": 1},
+        {"name": "GammaGoods", "domains": [_host_of(3, n_hosts), _host_of(4, n_hosts)], "host_idx": 2},
+    ]
+    return pd.DataFrame(rows)
+
+
+def generate_excluded_hosts(n_hosts: int) -> pd.DataFrame:
+    """Exclusion dim (reference serp.py:244-246) — hard-drop anti-join."""
+    return pd.DataFrame(
+        [{"name": "BlockedShop", "domains": [_host_of(5, n_hosts)]}]
+    )
+
+
+def generate_robots(n_hosts: int) -> pd.DataFrame:
+    """Per-host crawl rules: every 7th host disallows /private/ (FIXTURES A5)."""
+    rows = []
+    for i in range(n_hosts):
+        host = _host_of(i, n_hosts)
+        rows.append(
+            {
+                "host": host,
+                "disallow_prefixes": ["/private/"] if i % 7 == 0 else [],
+                "crawl_delay_ms": int(100 + (i % 5) * 50),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def generate_prompts() -> pd.DataFrame:
+    """Classification prompt dim (reference base/base.py:107-114)."""
+    return pd.DataFrame(
+        [
+            {
+                "name": "relevance",
+                "context": "Is this product relevant to pharmaceutical fraud monitoring?",
+                "system_prompt": "Answer with a single digit.",
+                "allowed_classes": [0, 1],
+                "default_if_missing": -1,
+            },
+            {
+                "name": "seriousness",
+                "context": "How serious is the offer?",
+                "system_prompt": "Answer with a single digit.",
+                "allowed_classes": [0, 1, 2],
+                "default_if_missing": -1,
+            },
+        ]
+    )
+
+
+def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) -> dict:
+    """Write the full corpus as parquet files under out_dir; returns paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_hosts = n_hosts or max(8, n_pages // 50)
+    tables = {
+        "pages": generate_pages(n_pages, n_hosts),
+        "seeds": generate_seeds(),
+        "hosts": generate_hosts(n_hosts),
+        "excluded_hosts": generate_excluded_hosts(n_hosts),
+        "robots": generate_robots(n_hosts),
+        "prompts": generate_prompts(),
+    }
+    paths = {}
+    for name, df in tables.items():
+        p = os.path.join(out_dir, f"{name}.parquet")
+        # microsecond timestamps — Spark rejects parquet TIMESTAMP(NANOS)
+        df.to_parquet(p, index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        paths[name] = p
+    return paths
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/data/crawl_sf_small"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    print(write_corpus(out, n))

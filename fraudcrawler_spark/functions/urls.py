@@ -1,0 +1,84 @@
+"""URL canonicalization — reference semantics of ``SerpApi._get_domain``
+(/root/reference/fraudcrawler/scraping/serp.py:50-74):
+
+1. prepend ``http://`` when schemeless (urlparse needs a scheme),
+2. hostname via urlparse (lowercases, strips port/userinfo),
+3. regex fallback ``^(?:https?://)?([^/:?#]+)``,
+4. if still nothing → return the full url,
+5. strip one leading ``www.``.
+
+Two implementations:
+- ``canonical_host_expr`` — pure Catalyst column expression (JVM-side,
+  whole-stage-codegen friendly, SQL-expressible for the DuckDB oracle).
+- ``canonical_host_udf`` — Arrow-batched pandas UDF using ``urlparse``
+  for byte parity with the reference on adversarial inputs (userinfo,
+  ports, IPv6). The hot path uses the expression; tests pin expr == udf
+  on corpus-shaped urls and udf == reference semantics everywhere.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# host = chars up to first of / : ? #, after optional scheme and userinfo
+_HOST_PATTERN = r"^(?:https?://)?(?:[^/@:?#]*@)?([^/:?#]+)"
+
+
+def canonical_host_expr(url: Column) -> Column:
+    """Hostname with the reference's quirks, as a native expression.
+
+    Equivalent ANSI SQL (DuckDB oracle):
+      regexp_replace(lower(regexp_extract(url, <pat>, 1)), '^www\\.', '')
+    with a fallback to the full url when no host-like prefix matches.
+    """
+    host = F.regexp_extract(url, _HOST_PATTERN, 1)
+    host = F.lower(host)
+    host = F.regexp_replace(host, r"^www\.", "")
+    # reference serp.py:65-69: unextractable host → return full url
+    return F.when(host == "", url).otherwise(host)
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Frontier canonical form: https:// + canonical_host + path-query.
+
+    Target-side design (not in the reference, which canonicalizes host
+    only): normalizes scheme + www so all four href variants emitted by
+    the corpus collapse to the stored ``pages.url`` form, enabling the
+    fetch equi-join. Fragment is dropped; empty path stays empty.
+    """
+    host = canonical_host_expr(url)
+    rest = F.regexp_replace(url, _HOST_PATTERN, "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    return F.concat(F.lit("https://"), host, rest)
+
+
+def _ref_get_domain(url: str) -> str:
+    """Reference ``_get_domain`` semantics re-expressed (serp.py:50-74)."""
+    import re
+
+    u = url if url.startswith(("http://", "https://")) else "http://" + url
+    try:
+        hostname = urlparse(u).hostname
+    except ValueError:
+        hostname = None
+    if hostname is None:
+        m = re.search(r"^(?:https?:\/\/)?([^\/:?#]+)", u)
+        if m:
+            hostname = m.group(1)
+    if hostname is None:
+        return url
+    if hostname.startswith("www."):
+        hostname = hostname[4:]
+    return hostname
+
+
+@pandas_udf(StringType())
+def canonical_host_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-batched kernel; byte parity with reference serp.py:50-74."""
+    return urls.map(_ref_get_domain)

@@ -1,0 +1,152 @@
+"""Unit tests for the vectorized kernels and scalar functions."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fraudcrawler_spark.config import Prompt
+from fraudcrawler_spark.datagen import extract_fields, html_to_text
+from fraudcrawler_spark.functions.classify import classify_expr, classify_py
+from fraudcrawler_spark.functions.urls import (
+    _ref_get_domain,
+    canonical_host_expr,
+    canonical_host_udf,
+    canonical_url_expr,
+)
+
+ADVERSARIAL_URLS = [
+    "https://www.example.ch/path?q=1",
+    "http://example.com/a#frag",
+    "www.example.it/x",
+    "example.de/x",
+    "https://user:pw@example.fr:8443/a",
+    "HTTPS://WWW.EXAMPLE.COM/UP",
+    "https://x.com.br/deep/.com/path",
+    "shop1.ch",
+]
+
+
+def test_ref_get_domain_quirks():
+    # mirrors reference test_scraping.py:50-54 style cases (serp.py:50-74)
+    assert _ref_get_domain("https://www.google.com/a") == "google.com"
+    assert _ref_get_domain("www.google.com/a") == "google.com"
+    assert _ref_get_domain("google.com") == "google.com"
+    assert _ref_get_domain("https://u:p@x.ch:8080/a") == "x.ch"
+    # reference quirk (serp.py:58 is case-sensitive): uppercase scheme →
+    # "http://" is prepended, urlparse sees netloc "HTTPS:" → host "https"
+    assert _ref_get_domain("HTTPS://WWW.EXAMPLE.COM/UP") == "https"
+
+
+def test_canonical_host_udf_matches_reference(spark):
+    df = spark.createDataFrame(pd.DataFrame({"url": ADVERSARIAL_URLS}))
+    got = [r[0] for r in df.select(canonical_host_udf("url")).collect()]
+    want = [_ref_get_domain(u) for u in ADVERSARIAL_URLS]
+    assert got == want
+
+
+def test_canonical_host_expr_matches_udf_on_corpus_shapes(spark):
+    urls = [
+        "https://shop1.ch/p000001",
+        "http://shop2.com/p000002",
+        "www.shop3.it/p000003",
+        "shop4.de/private/p000004",
+        "https://www.shop5.fr/p000005",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    rows = df.select(
+        canonical_host_expr(F.col("url")).alias("e"),
+        canonical_host_udf("url").alias("u"),
+    ).collect()
+    for r in rows:
+        assert r["e"] == r["u"]
+
+
+def test_canonical_url_collapses_variants(spark):
+    variants = [
+        "https://shop1.ch/p000001",
+        "http://shop1.ch/p000001",
+        "www.shop1.ch/p000001",
+        "shop1.ch/p000001",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": variants}))
+    got = {r[0] for r in df.select(canonical_url_expr(F.col("url"))).collect()}
+    assert got == {"https://shop1.ch/p000001"}
+
+
+def test_html_to_text_and_fields_roundtrip():
+    html = (
+        "<html><head><title>vitamin product 7</title>"
+        '<meta name="product:probability" content="0.42"></head><body>'
+        "<h1>vitamin product 7</h1>"
+        '<span class="price">9.99 CHF</span>'
+        '<img class="main" src="https://h/img/main.jpg">'
+        '<img src="https://h/img/1.jpg">'
+        '<p class="description">desc here</p>'
+        '<a href="https://x.ch/p000001">l</a>'
+        "</body></html>"
+    )
+    f = extract_fields(html)
+    assert f["product_name"] == "vitamin product 7"
+    assert f["product_price"] == "9.99 CHF"
+    assert f["product_description"] == "desc here"
+    assert f["product_images"] == [
+        "https://h/img/main.jpg",
+        "https://h/img/1.jpg",
+    ]
+    assert f["probability"] == 0.42
+    txt = html_to_text(html)
+    assert "vitamin product 7" in txt and "9.99 CHF" in txt
+
+
+def test_extract_missing_probability_quirk():
+    # missing probability tag: fields still extracted, probability None
+    # (reference orchestrator.py:211-235 float(None) path)
+    html = "<html><head><title>x</title></head><body><h1>x</h1></body></html>"
+    f = extract_fields(html)
+    assert f["product_name"] == "x"
+    assert f["probability"] is None
+
+
+def test_extract_listing_kernel_byte_identical_text(spark, corpus_dir):
+    from fraudcrawler_spark.functions.extract import extract_listing
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet").limit(200)
+    out = pages.select(
+        "url", "text", extract_listing(F.col("html")).alias("x")
+    ).select("url", "text", "x.extracted_text")
+    bad = out.where(F.col("text") != F.col("extracted_text")).count()
+    assert bad == 0
+
+
+PROMPT = Prompt(name="rel", context="ctx", allowed_classes=(0, 1, 2, 3, 4))
+
+
+def test_classify_expr_matches_py(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://x.ch/p{i:06d}" for i in range(50)],
+            "name": [f"name {i}" if i % 5 else None for i in range(50)],
+            "desc": [f"desc {i}" if i % 7 else None for i in range(50)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = [
+        r[0]
+        for r in df.select(
+            classify_expr(PROMPT, F.col("name"), F.col("desc"))
+        ).collect()
+    ]
+    want = [
+        classify_py(PROMPT, u, n, d)
+        for u, n, d in zip(pdf["url"], pdf["name"], pdf["desc"])
+    ]
+    assert got == want
+
+
+def test_classify_guards():
+    assert classify_py(PROMPT, "u", None, "d") == PROMPT.default_if_missing
+    assert classify_py(PROMPT, "u", "n", None) == PROMPT.default_if_missing
+    narrow = Prompt(name="n", context="c", allowed_classes=(7,))
+    # digit almost surely not 7 → default; and if it is 7, it's allowed
+    got = classify_py(narrow, "u", "a", "b")
+    assert got in (7, narrow.default_if_missing)

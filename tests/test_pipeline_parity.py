@@ -1,0 +1,86 @@
+"""Trace parity: the Spark engine vs the reference-semantics simulator.
+
+north_rule: "matching the reference's crawl ordering and URL-seen set
+under the same seed list + politeness budget". The simulator
+(tests/ref_sim.py) runs the reference's documented per-row semantics
+sequentially (deterministic FIFO = reference at n_workers=1).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fraudcrawler_spark.pipeline import run_pipeline
+from tests.ref_sim import simulate
+
+
+def _norm_rows(rows: list[dict]) -> pd.DataFrame:
+    df = pd.DataFrame(rows)
+    df["product_images"] = df["product_images"].map(
+        lambda v: tuple(v) if v is not None else None
+    )
+    df["classifications"] = df["classifications"].map(
+        lambda m: tuple(sorted(m.items())) if m is not None else ()
+    )
+    return df.sort_values(["search_term", "url"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def engine_and_sim(spark, corpus_dir):
+    eng = run_pipeline(spark, corpus_dir).toPandas()
+    sim = simulate(corpus_dir)
+    return eng, sim
+
+
+def test_row_set_parity(engine_and_sim):
+    eng, sim = engine_and_sim
+    eng_rows = _norm_rows(eng.to_dict("records"))
+    sim_rows = _norm_rows(sim["rows"])
+    assert len(eng_rows) == len(sim_rows)
+    pd.testing.assert_frame_equal(
+        eng_rows[sorted(eng_rows.columns)],
+        sim_rows[sorted(sim_rows.columns)],
+        check_dtype=False,
+    )
+
+
+def test_seen_set_parity(engine_and_sim):
+    eng, sim = engine_and_sim
+    # seen set = urls claimed at the dedup stage (first unflagged arrival);
+    # in the final output those are the unflagged rows plus rows flagged
+    # LATER by the probability stage (they had already claimed their url)
+    eng_claimed = set(
+        eng.loc[
+            (~eng["filtered"])
+            | (eng["filtered_at_stage"] == "Zyte probability threshold"),
+            "url",
+        ]
+    )
+    assert eng_claimed == sim["seen_set"]
+
+
+def test_no_url_twice_unflagged(engine_and_sim):
+    eng, _ = engine_and_sim
+    active = eng.loc[~eng["filtered"], "url"]
+    assert active.is_unique
+
+
+def test_previous_run_dedup(spark, corpus_dir):
+    sim0 = simulate(corpus_dir)
+    seen_urls = sorted(sim0["seen_set"])[:10]
+    seen_df = spark.createDataFrame(pd.DataFrame({"url": seen_urls}))
+    eng = run_pipeline(spark, corpus_dir, seen=seen_df).toPandas()
+    sim = simulate(corpus_dir, previously_collected=set(seen_urls))
+    prev_stage = "URL collection (previous run deduplication)"
+    eng_prev = set(eng.loc[eng["filtered_at_stage"] == prev_stage, "url"])
+    sim_prev = {
+        r["url"] for r in sim["rows"] if r["filtered_at_stage"] == prev_stage
+    }
+    assert eng_prev == sim_prev
+    assert eng_prev  # non-trivial
+    # full row-set parity under previous-run state too
+    pd.testing.assert_frame_equal(
+        _norm_rows(eng.to_dict("records"))[sorted(eng.columns)],
+        _norm_rows(sim["rows"])[sorted(eng.columns)],
+        check_dtype=False,
+    )
