@@ -1,0 +1,87 @@
+"""Round-checkpoint state store — thin Iceberg-style snapshot layer.
+
+No Iceberg runtime jar ships in this sandbox (SURVEY.md §7 risk 4), so
+this layer emulates the snapshot semantics the engine needs on plain
+parquet + an atomic JSON manifest: every completed round commits
+
+    seen/round=K/        urls claimed in round K (partitioned by part)
+    bloom/round_K/       Bloom segment snapshot AFTER round K
+    frontier/round_{K+1} the next round's frontier
+    results/round_K/     result rows of round K
+    lineage/round_K/     per-url provenance (url, stage, src) for round K
+    metrics/round_K/     per-round + per-host counters
+    manifest.json        {"last_round": K, ...}   ← the commit point
+
+The manifest is written tmp+rename (atomic on POSIX), so a crash
+mid-round leaves the previous snapshot intact and ``resume`` replays
+from the last committed round — the kill-and-resume test (north_rule)
+relies on exactly this. On a real cluster the same API maps 1:1 onto
+Iceberg table commits (each round = one snapshot).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CrawlState:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"last_round": -1}
+        with open(p) as f:
+            return json.load(f)
+
+    def commit(self, round_no: int, extra: dict | None = None) -> None:
+        """Atomic commit point: manifest rename AFTER all round data lands."""
+        m = self.read_manifest()
+        m.update(extra or {})
+        m["last_round"] = round_no
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path())
+
+    # -- per-round tables ------------------------------------------------------
+    def _p(self, table: str, round_no: int) -> str:
+        return os.path.join(self.root, table, f"round={round_no:05d}")
+
+    def write(self, table: str, round_no: int, df: DataFrame,
+              sort_cols: list[str] | None = None) -> None:
+        w = df
+        if sort_cols:
+            # Iceberg-style sort order within files: frontier is kept sorted
+            # by (priority, host, crawl_depth) so round selection scans are
+            # sequential and metadata-prunable.
+            w = w.sortWithinPartitions(*sort_cols)
+        w.write.mode("overwrite").parquet(self._p(table, round_no))
+
+    def read(self, table: str, round_no: int) -> DataFrame:
+        return self.spark.read.parquet(self._p(table, round_no))
+
+    def exists(self, table: str, round_no: int) -> bool:
+        p = self._p(table, round_no)
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def read_all(self, table: str, upto_round: int) -> DataFrame | None:
+        paths = [
+            self._p(table, r)
+            for r in range(upto_round + 1)
+            if self.exists(table, r)
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)

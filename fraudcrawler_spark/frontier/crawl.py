@@ -1,0 +1,283 @@
+"""Multi-round frontier crawl driver — M2/M3 (SURVEY.md §7).
+
+BFS-style iterated batch rounds (the reference's stage-barrier execution,
+orchestrator.py:525-626, generalized to a real frontier): one Spark job
+per round, checkpoint commit per round (CrawlState), exact-resume from
+the manifest.
+
+Round K dataflow (all DataFrame ops; barriers land on shuffles):
+
+  frontier_K ──schedule (robots + politeness cells)──► scheduled/deferred/blocked
+  scheduled ──SeenStore probe (Bloom + exact confirm)──► new / already-seen
+  new ──fetch join on pages ──extract kernel──► results_K (+ prob flag + classify)
+  results_K(unflagged) ──explode links──canonicalize──country/excluded──►
+      candidates ──minus seen──dedup──► frontier_{K+1} = deferred ∪ candidates
+
+Scale notes: the fetch join is an equi-join on url against the pages
+table (SMJ at scale; co-partitioned if pages is bucketed by crc32(url));
+link expansion shuffles once on url for dedup; Bloom probe is one
+cogroup exchange on the segment partition key. html:binary is only read
+inside the fetch join's projection.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraudcrawler_spark.config import (
+    CrawlConfig,
+    STAGE_COUNTRY,
+    STAGE_DEDUP_PREVIOUS,
+)
+from fraudcrawler_spark.frontier.checkpoint import CrawlState
+from fraudcrawler_spark.frontier.politeness import STAGE_ROBOTS, schedule
+from fraudcrawler_spark.frontier.seen import SeenStore, with_part
+from fraudcrawler_spark.functions.urls import canonical_host_expr, canonical_url_expr
+from fraudcrawler_spark.operators.classify_stage import classify_stage
+from fraudcrawler_spark.operators.discover import discover
+from fraudcrawler_spark.operators.fetch import fetch_extract
+from fraudcrawler_spark.pipeline import prompts_from_dim, read_corpus
+
+STAGE_EXCLUDED = "excluded domain (hard drop)"
+
+FRONTIER_COLS = ["url", "host", "priority", "crawl_depth"]
+
+
+def _lineage(df: DataFrame, stage: str, src_col: str | None = None) -> DataFrame:
+    src = F.col(src_col) if src_col else F.lit(None).cast("string")
+    return df.select(
+        F.col("url"), F.lit(stage).alias("stage"), src.alias("src_url")
+    )
+
+
+def init_crawl(
+    spark: SparkSession,
+    corpus_dir: str,
+    state_root: str,
+    config: CrawlConfig | None = None,
+) -> CrawlState:
+    """Seed round: discovery → frontier_0; commits manifest at round -1."""
+    config = config or CrawlConfig()
+    t = read_corpus(spark, corpus_dir)
+    state = CrawlState(spark, state_root)
+
+    items = discover(
+        t["pages"], t["seeds"], hosts=t.get("hosts"),
+        excluded_hosts=t.get("excluded_hosts"), country_code=config.country_code,
+    )
+    flagged = items.where(F.col("filtered"))
+    frontier0 = (
+        items.where(~F.col("filtered"))
+        .select(
+            "url",
+            canonical_host_expr(F.col("url")).alias("host"),
+            F.lit(0).alias("priority"),
+            F.lit(0).alias("crawl_depth"),
+        )
+        .groupBy("url")
+        .agg(
+            F.first("host").alias("host"),
+            F.min("priority").alias("priority"),
+            F.min("crawl_depth").alias("crawl_depth"),
+        )
+        .select(*FRONTIER_COLS)
+    )
+    state.write("frontier", 0, frontier0, sort_cols=["priority", "host", "crawl_depth"])
+    state.write("seed_lineage", 0, _lineage(flagged, STAGE_COUNTRY).withColumn(
+        "round", F.lit(-1)))
+    state.commit(-1, {"corpus_dir": corpus_dir})
+    return state
+
+
+def _load_seen(spark: SparkSession, state: CrawlState, upto: int,
+               config: CrawlConfig) -> SeenStore:
+    store = SeenStore(spark, partitions=config.seen_partitions)
+    if upto >= 0 and state.exists("bloom", upto):
+        segs = state.read("bloom", upto)
+        seen = state.read_all("seen", upto)
+        store.load(segs, seen)
+    return store
+
+
+def run_round(
+    spark: SparkSession,
+    state: CrawlState,
+    round_no: int,
+    config: CrawlConfig,
+    tables: dict[str, DataFrame],
+    store: SeenStore,
+) -> bool:
+    """Execute round ``round_no``; returns False when the frontier is empty."""
+    t0 = time.time()
+    frontier = state.read("frontier", round_no)
+    n_frontier = frontier.count()
+    if n_frontier == 0:
+        return False
+
+    # --- politeness + robots ------------------------------------------------
+    # localCheckpoint: small per-round sets; truncates lineage so the many
+    # downstream actions don't replay the whole round DAG.
+    scheduled, deferred, blocked = schedule(
+        frontier, tables.get("robots"), config.host_budget, config.salt_shards
+    )
+    scheduled = scheduled.localCheckpoint()
+    deferred = deferred.localCheckpoint()
+    blocked = blocked.localCheckpoint()
+
+    # --- seen-set probe (Bloom pre-filter + exact confirm) -------------------
+    new_urls = store.filter_new(scheduled).localCheckpoint()
+    dup = scheduled.join(new_urls, "url", "left_anti")
+
+    # --- claim: blocked + new urls enter the seen set ------------------------
+    store.add(new_urls.select("url").unionByName(blocked.select("url")))
+    # persist claimed delta + segments NOW, then reload the store from
+    # parquet — the round barrier that keeps seen-state lineage flat
+    state.write("seen", round_no, with_part(
+        new_urls.select("url").unionByName(blocked.select("url")),
+        config.seen_partitions))
+    state.write("bloom", round_no, store.segments)
+    store.load(state.read("bloom", round_no),
+               state.read_all("seen", round_no))
+
+    # --- fetch + extract + flag + classify -----------------------------------
+    items = (
+        scheduled.join(new_urls.select("url"), "url", "left_semi")
+        .withColumn("filtered", F.lit(False))
+        .withColumn("filtered_at_stage", F.lit(None).cast("string"))
+    )
+    fetched = fetch_extract(items, tables["pages"],
+                            threshold=config.probability_threshold)
+    prompts = config.prompts or (
+        prompts_from_dim(tables["prompts"]) if "prompts" in tables else ()
+    )
+    results = classify_stage(fetched, prompts).withColumn(
+        "round", F.lit(round_no)
+    )
+    # results parquet is both the round output and the barrier for expansion
+    state.write("results", round_no, results)
+    results = state.read("results", round_no)
+
+    # --- link expansion → next frontier candidates ----------------------------
+    expanded = (
+        results.where(~F.col("filtered"))
+        .select(
+            F.col("url").alias("src_url"),
+            F.col("crawl_depth"),
+            F.explode_outer("links").alias("raw_link"),
+        )
+        .where(F.col("raw_link").isNotNull())
+        .select(
+            canonical_url_expr(F.col("raw_link")).alias("url"),
+            F.col("src_url"),
+            (F.col("crawl_depth") + 1).alias("crawl_depth"),
+        )
+        .where(F.col("crawl_depth") <= F.lit(config.max_depth))
+    )
+    # country flag at enqueue (reference F1 semantics, serp.py:150-158)
+    cc = config.country_code.lower()
+    keep = F.lower(F.col("url")).contains(f".{cc}") | F.lower(F.col("url")).contains(".com")
+    country_flagged = expanded.where(~keep)
+    expanded = expanded.where(keep).withColumn(
+        "host", canonical_host_expr(F.col("url"))
+    )
+    # excluded-domain hard drop (reference J2, serp.py:244-246)
+    excl = tables.get("excluded_hosts")
+    if excl is not None:
+        excl_dom = excl.select(F.explode("domains").alias("host")).distinct()
+        dropped = expanded.join(F.broadcast(excl_dom), "host", "left_semi")
+        expanded = expanded.join(F.broadcast(excl_dom), "host", "left_anti")
+    else:
+        dropped = expanded.limit(0)
+
+    candidates = (
+        expanded.groupBy("url")
+        .agg(
+            F.first("host").alias("host"),
+            F.min("crawl_depth").alias("crawl_depth"),
+            F.min("src_url").alias("src_url"),
+        )
+        .withColumn("priority", F.col("crawl_depth"))
+    )
+    fresh = candidates.join(
+        store.filter_new(candidates).select("url"), "url", "left_semi"
+    )
+    # also drop candidates already waiting in the deferred frontier
+    fresh = fresh.join(deferred.select("url"), "url", "left_anti").localCheckpoint()
+    next_frontier = deferred.select(*FRONTIER_COLS).unionByName(
+        fresh.select(*FRONTIER_COLS)
+    )
+
+    # --- lineage + metrics ----------------------------------------------------
+    lineage = (
+        _lineage(blocked, STAGE_ROBOTS)
+        .unionByName(_lineage(dup, STAGE_DEDUP_PREVIOUS))
+        .unionByName(_lineage(country_flagged, STAGE_COUNTRY, "src_url"))
+        .unionByName(_lineage(dropped, STAGE_EXCLUDED, "src_url"))
+        .unionByName(_lineage(fresh, "enqueued", "src_url"))
+        .withColumn("round", F.lit(round_no))
+    )
+    host_metrics = (
+        scheduled.groupBy("host")
+        .agg(F.count("*").alias("n_scheduled"))
+        .withColumn("round", F.lit(round_no))
+    )
+    n_scheduled = scheduled.count()
+    n_new = new_urls.count()
+    n_results = results.count()
+    elapsed = time.time() - t0
+    totals = spark.createDataFrame(
+        [
+            {
+                "round": round_no,
+                "n_frontier": n_frontier,
+                "n_scheduled": n_scheduled,
+                "n_deferred": deferred.count(),
+                "n_blocked": blocked.count(),
+                "n_new": n_new,
+                "n_dup": n_scheduled - n_new,
+                "n_results": n_results,
+                "n_enqueued": fresh.count(),
+                "elapsed_sec": elapsed,
+                "urls_per_sec": (n_scheduled + n_new) / elapsed if elapsed > 0 else 0.0,
+            }
+        ]
+    )
+
+    # --- commit ---------------------------------------------------------------
+    state.write("lineage", round_no, lineage)
+    state.write("metrics", round_no, totals)
+    state.write("host_metrics", round_no, host_metrics)
+    state.write(
+        "frontier", round_no + 1, next_frontier,
+        sort_cols=["priority", "host", "crawl_depth"],
+    )
+    state.commit(round_no)
+    return True
+
+
+def run_crawl(
+    spark: SparkSession,
+    corpus_dir: str,
+    state_root: str,
+    config: CrawlConfig | None = None,
+    max_rounds: int = 10,
+) -> CrawlState:
+    """Run (or resume) a crawl to completion / max_rounds."""
+    config = config or CrawlConfig()
+    state = CrawlState(spark, state_root)
+    if not state.exists("frontier", 0):
+        state = init_crawl(spark, corpus_dir, state_root, config)
+    manifest = state.read_manifest()
+
+    tables = read_corpus(spark, corpus_dir)
+    start = manifest["last_round"] + 1
+    store = _load_seen(spark, state, manifest["last_round"], config)
+    for r in range(start, max_rounds):
+        if not state.exists("frontier", r):
+            break
+        if not run_round(spark, state, r, config, tables, store):
+            break
+    return state

@@ -1,0 +1,113 @@
+"""Per-host politeness scheduling cells — T4/schedule_cell (SURVEY.md §2.8-2.9).
+
+The reference throttles only via bounded worker pools
+(orchestrator.py:480-485); the target engine enforces real politeness:
+per host and per round, at most ``budget`` fetches, where the budget is a
+token bucket refilled by the host's crawl delay (robots dim), and
+robots ``disallow_prefixes`` are honored.
+
+Skew: a Zipf-head host would make one scheduling cell giant, so cells
+are ``(host, salt)`` with ``salt = crc32(url) % s`` (native F.crc32 —
+reproducible in the Python simulator via zlib.crc32) and each cell gets
+``ceil(budget / s)`` tokens. Selection order inside a cell — and hence
+across the whole round, since cells are disjoint — is the canonical
+frontier order (priority, crawl_depth, url).
+
+Everything here is native DataFrame ops: the "cell" is a window
+partition, the token bucket a row_number comparison — no state loop, one
+shuffle on (host, salt).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STAGE_ROBOTS = "robots disallow"
+
+
+def cell_budget(host_budget: int, salt_shards: int, crawl_delay_ms: int | None,
+                round_ms: int = 60_000) -> int:
+    """Per-cell token budget — the Python twin of the Column expression in
+    ``schedule`` (used by the trace simulator; keep both in lockstep)."""
+    per_cell = math.ceil(host_budget / salt_shards)
+    by_delay = math.ceil(round_ms / max(crawl_delay_ms or 1, 1) / salt_shards)
+    return max(1, min(per_cell, by_delay))
+
+
+def robots_flag(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Flag urls whose path starts with a disallowed prefix for their host.
+
+    robots dim: (host, disallow_prefixes: array<string>, crawl_delay_ms).
+    Broadcast join + exists() over the prefix array — JVM-side.
+    """
+    if robots is None:
+        return frontier.withColumn("robots_blocked", F.lit(False)).withColumn(
+            "crawl_delay_ms", F.lit(None).cast("long")
+        )
+    dim = robots.select(
+        F.col("host").alias("_r_host"),
+        "disallow_prefixes",
+        "crawl_delay_ms",
+    )
+    out = frontier.join(F.broadcast(dim), frontier["host"] == dim["_r_host"], "left")
+    path = F.regexp_replace(
+        F.col("url"), r"^https?://[^/]+", ""
+    )
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
+        lambda p: path.startswith(p),
+    )
+    return out.withColumn("robots_blocked", F.coalesce(blocked, F.lit(False))).drop(
+        "_r_host", "disallow_prefixes"
+    )
+
+
+def schedule(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    host_budget: int,
+    salt_shards: int = 4,
+    round_ms: int = 60_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """frontier → (scheduled, deferred, robots_blocked).
+
+    frontier columns: url, host, priority, crawl_depth (+ passthrough).
+    - robots-blocked rows leave the frontier permanently (lineage keeps them),
+    - per (host, salt) cell the top ceil(budget/s) rows in canonical order
+      are scheduled; the rest are deferred to the next round.
+    """
+    fr = robots_flag(frontier, robots)
+    blocked = fr.where(F.col("robots_blocked")).drop("robots_blocked")
+    open_ = fr.where(~F.col("robots_blocked")).drop("robots_blocked")
+
+    per_cell = int(math.ceil(host_budget / salt_shards))
+    open_ = open_.withColumn(
+        "salt", F.pmod(F.crc32(F.col("url")), F.lit(salt_shards)).cast("int")
+    ).withColumn(
+        "_cell_budget",
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.lit(per_cell),
+                F.ceil(
+                    F.lit(round_ms)
+                    / F.greatest(F.coalesce(F.col("crawl_delay_ms"), F.lit(1)), F.lit(1))
+                    / F.lit(salt_shards)
+                ).cast("int"),
+            ),
+        ),
+    )
+    w = Window.partitionBy("host", "salt").orderBy(
+        F.col("priority"), F.col("crawl_depth"), F.col("url")
+    )
+    ranked = open_.withColumn("_rn", F.row_number().over(w))
+    scheduled = ranked.where(F.col("_rn") <= F.col("_cell_budget")).drop(
+        "_rn", "_cell_budget", "salt", "crawl_delay_ms"
+    )
+    deferred = ranked.where(F.col("_rn") > F.col("_cell_budget")).drop(
+        "_rn", "_cell_budget", "salt", "crawl_delay_ms"
+    )
+    return scheduled, deferred, blocked.drop("crawl_delay_ms")

@@ -1,0 +1,165 @@
+"""Distributed URL-seen store: crc32-partitioned Bloom segments + exact table.
+
+Replaces the reference's single-threaded in-memory set collector
+(orchestrator.py:92-93,150-188). Partitioning uses ``crc32(url) % P`` —
+computed natively in Spark (F.crc32) and identically in Python
+(zlib.crc32), so the trace simulator and the engine agree bit-for-bit
+and no per-row Python is needed for routing.
+
+Probe path (per round):
+  candidates → part = crc32(url)%P → cogroup with Bloom segments →
+  definite-new (Bloom negative) short-circuits; Bloom positives are
+  confirmed with an exact anti-join against the persisted seen table
+  (FPs can never drop a URL — north_rule exactness).
+Update path: claimed urls cogroup-merged into per-partition segments
+(one task per segment), urls appended to the seen table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from fraudcrawler_spark.frontier.bloom import BloomSegment, segments_from_pdf
+
+SEG_SCHEMA = StructType(
+    [
+        StructField("part", IntegerType()),
+        StructField("capacity", LongType()),
+        StructField("n_hashes", IntegerType()),
+        StructField("bitmap", BinaryType()),
+    ]
+)
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("maybe_seen", BooleanType()),
+    ]
+)
+
+
+def with_part(df: DataFrame, partitions: int, url_col: str = "url") -> DataFrame:
+    return df.withColumn(
+        "part", F.pmod(F.crc32(F.col(url_col)), F.lit(partitions)).cast("int")
+    )
+
+
+class SeenStore:
+    """Bloom segments (small DF, one row per partition) + exact url table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        partitions: int = 32,
+        capacity_per_part: int = 1 << 16,
+    ):
+        self.spark = spark
+        self.partitions = partitions
+        self.capacity_per_part = capacity_per_part
+        self._segments: DataFrame | None = None  # (part, capacity, n_hashes, bitmap)
+        self._seen: DataFrame | None = None  # (part, url)
+
+    # -- state I/O ---------------------------------------------------------
+    def load(self, segments: DataFrame | None, seen: DataFrame | None) -> None:
+        self._segments = segments
+        self._seen = seen
+
+    @property
+    def segments(self) -> DataFrame | None:
+        return self._segments
+
+    @property
+    def seen(self) -> DataFrame | None:
+        return self._seen
+
+    # -- probe -------------------------------------------------------------
+    def probe(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
+        """→ (url, maybe_seen). Bloom-negative ⇒ definitely new."""
+        cand = with_part(urls.select(F.col(url_col).alias("url")).distinct(),
+                         self.partitions)
+        if self._segments is None:
+            return cand.select("url").withColumn("maybe_seen", F.lit(False))
+
+        def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return pd.DataFrame(columns=["url", "maybe_seen"])
+            if right.empty:
+                return pd.DataFrame({"url": left["url"], "maybe_seen": False})
+            seg = segments_from_pdf(right)[int(right["part"].iloc[0])]
+            return pd.DataFrame(
+                {"url": left["url"], "maybe_seen": seg.contains_many(left["url"].tolist())}
+            )
+
+        return (
+            cand.groupBy("part")
+            .cogroup(self._segments.groupBy("part"))
+            .applyInPandas(_probe, PROBE_SCHEMA)
+        )
+
+    def filter_new(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
+        """Exact set of urls NOT in the seen store (Bloom + confirm join)."""
+        probed = self.probe(urls, url_col)
+        negatives = probed.where(~F.col("maybe_seen")).select("url")
+        positives = probed.where(F.col("maybe_seen")).select("url")
+        if self._seen is None:
+            return negatives.unionByName(positives)
+        confirmed_new = positives.join(
+            self._seen.select("url"), "url", "left_anti"
+        )
+        return negatives.unionByName(confirmed_new)
+
+    # -- update ------------------------------------------------------------
+    def add(self, new_urls: DataFrame, url_col: str = "url") -> None:
+        """Merge claimed urls into segments + seen table (in-memory DFs;
+        persistence is the checkpoint layer's job)."""
+        new = with_part(new_urls.select(F.col(url_col).alias("url")).distinct(),
+                        self.partitions)
+        cap = self.capacity_per_part
+
+        def _merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            part = int(left["part"].iloc[0]) if not left.empty else int(right["part"].iloc[0])
+            if right.empty:
+                seg = BloomSegment(cap)
+            else:
+                seg = segments_from_pdf(right)[part]
+            if not left.empty:
+                seg.add_many(left["url"].tolist())
+            return pd.DataFrame(
+                {
+                    "part": [part],
+                    "capacity": [seg.capacity],
+                    "n_hashes": [seg.n_hashes],
+                    "bitmap": [seg.to_bytes()],
+                }
+            )
+
+        seg_df = self._segments
+        if seg_df is None:
+            seg_df = self.spark.createDataFrame([], SEG_SCHEMA)
+        merged = (
+            new.groupBy("part")
+            .cogroup(seg_df.groupBy("part"))
+            .applyInPandas(_merge, SEG_SCHEMA)
+        )
+        # untouched segments must survive the merge
+        untouched = seg_df.join(merged.select("part"), "part", "left_anti")
+        self._segments = merged.unionByName(untouched)
+
+        add_seen = new.select("part", "url")
+        self._seen = (
+            add_seen if self._seen is None else self._seen.unionByName(add_seen)
+        )
+        # NOTE: lazily defined — the crawl driver persists segments/seen to
+        # the round checkpoint and reloads (truncating lineage); standalone
+        # users can call .localCheckpoint() on .segments/.seen if iterating.

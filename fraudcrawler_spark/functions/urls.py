@@ -58,6 +58,26 @@ def canonical_url_expr(url: Column) -> Column:
     return F.concat(F.lit("https://"), host, rest)
 
 
+def canonical_host_py(url: str) -> str:
+    """Python twin of ``canonical_host_expr`` (trace simulator / tests)."""
+    import re
+
+    m = re.search(_HOST_PATTERN, url)
+    host = m.group(1).lower() if m else ""
+    host = re.sub(r"^www\.", "", host)
+    return host if host else url
+
+
+def canonical_url_py(url: str) -> str:
+    """Python twin of ``canonical_url_expr``."""
+    import re
+
+    host = canonical_host_py(url)
+    rest = re.sub(_HOST_PATTERN, "", url, count=1)
+    rest = re.sub(r"#.*$", "", rest)
+    return "https://" + host + rest
+
+
 def _ref_get_domain(url: str) -> str:
     """Reference ``_get_domain`` semantics re-expressed (serp.py:50-74)."""
     import re

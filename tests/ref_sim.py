@@ -179,3 +179,173 @@ def simulate(
             rows.append(row)
 
     return {"rows": rows, "visit_order": visit_order, "seen_set": current}
+
+
+# ---------------------------------------------------------------------------
+# Multi-round crawl simulator (golden trace for the frontier engine)
+# ---------------------------------------------------------------------------
+
+import zlib
+from collections import defaultdict
+
+from fraudcrawler_spark.config import CrawlConfig
+from fraudcrawler_spark.frontier.politeness import cell_budget
+from fraudcrawler_spark.functions.urls import canonical_host_py, canonical_url_py
+
+
+def _path_of(url: str) -> str:
+    return re.sub(r"^https?://[^/]+", "", url)
+
+
+def simulate_crawl(
+    corpus_dir: str,
+    config: CrawlConfig | None = None,
+    max_rounds: int = 10,
+) -> dict:
+    """Sequential golden trace of the frontier crawl.
+
+    Implements exactly the engine's documented round semantics
+    (frontier/crawl.py) with plain Python sets/dicts: robots + politeness
+    cells (salt = zlib.crc32(url) % s — the same value Spark's F.crc32
+    computes), Bloom-free exact seen set, canonical order
+    (priority, crawl_depth, url) within each cell, reference per-row
+    semantics for extract/flag/classify.
+    """
+    config = config or CrawlConfig()
+    t = load_corpus(corpus_dir)
+    pages = t["pages"].set_index("url", drop=False)
+    robots_prefixes: dict[str, list[str]] = {}
+    robots_delay: dict[str, int] = {}
+    if "robots" in t:
+        for r in t["robots"].itertuples():
+            robots_prefixes[r.host] = list(r.disallow_prefixes)
+            robots_delay[r.host] = int(r.crawl_delay_ms)
+    excluded: set[str] = set()
+    if "excluded_hosts" in t:
+        for doms in t["excluded_hosts"]["domains"]:
+            excluded.update(doms)
+    prompts = [
+        Prompt(
+            name=r["name"],
+            context=r["context"],
+            system_prompt=r["system_prompt"],
+            allowed_classes=tuple(r["allowed_classes"]),
+            default_if_missing=int(r["default_if_missing"]),
+        )
+        for _, r in t["prompts"].iterrows()
+    ] if "prompts" in t else []
+    cc = config.country_code.lower()
+
+    # --- round 0 frontier = unflagged discovery urls (init_crawl) ----------
+    sim = simulate(corpus_dir, country_code=config.country_code,
+                   threshold=config.probability_threshold)
+    frontier: dict[str, tuple[int, int]] = {}  # url -> (priority, depth)
+    for row in sim["rows"]:
+        # discovery-time country flag → not enqueued; excluded already dropped
+        if row["filtered_at_stage"] == STAGE_COUNTRY:
+            continue
+        if row["url"] not in frontier:
+            frontier[row["url"]] = (0, 0)
+
+    seen: set[str] = set()
+    rounds = []
+    all_results = []
+    for round_no in range(max_rounds):
+        if not frontier:
+            break
+        # robots
+        blocked, open_ = [], []
+        for url, (prio, depth) in frontier.items():
+            host = canonical_host_py(url)
+            prefixes = robots_prefixes.get(host, [])
+            if any(_path_of(url).startswith(p) for p in prefixes):
+                blocked.append(url)
+            else:
+                open_.append((url, host, prio, depth))
+        # politeness cells
+        cells: dict[tuple[str, int], list] = defaultdict(list)
+        for url, host, prio, depth in open_:
+            salt = zlib.crc32(url.encode()) % config.salt_shards
+            cells[(host, salt)].append((prio, depth, url, host))
+        scheduled, deferred = [], {}
+        for (host, salt), rows_ in cells.items():
+            rows_.sort(key=lambda x: (x[0], x[1], x[2]))
+            b = cell_budget(config.host_budget, config.salt_shards,
+                            robots_delay.get(host))
+            for prio, depth, url, h in rows_[:b]:
+                scheduled.append((prio, depth, url, h))
+            for prio, depth, url, h in rows_[b:]:
+                deferred[url] = (prio, depth)
+        scheduled.sort(key=lambda x: (x[0], x[1], x[3], x[2]))
+
+        new = [s for s in scheduled if s[2] not in seen]
+        seen.update(u for _, _, u, _ in new)
+        seen.update(blocked)
+
+        # fetch + extract + flag + classify (reference semantics)
+        results = []
+        for prio, depth, url, host in new:
+            row = {
+                "url": url, "host": host, "priority": prio,
+                "crawl_depth": depth, "round": round_no,
+                "product_name": None, "product_price": None,
+                "product_description": None, "product_images": None,
+                "probability": None, "classifications": {},
+                "filtered": False, "filtered_at_stage": None,
+                "links": None,
+            }
+            if url in pages.index:
+                doc = pages.loc[url, "html"].decode("utf-8")
+                fields = extract_fields(doc)
+                for k in ("product_name", "product_price",
+                          "product_description", "product_images"):
+                    row[k] = fields[k]
+                row["links"] = extract_links(doc)
+                prob = fields["probability"]
+                if prob is not None:
+                    row["probability"] = prob
+                    if not prob > config.probability_threshold:
+                        row["filtered"] = True
+                        row["filtered_at_stage"] = STAGE_PROBABILITY
+            if not row["filtered"]:
+                for p in prompts:
+                    row["classifications"][p.name] = classify_py(
+                        p, url, row["product_name"], row["product_description"]
+                    )
+            results.append(row)
+        all_results.extend(results)
+
+        # expansion
+        cand: dict[str, tuple[int, int]] = {}
+        for row in results:
+            if row["filtered"] or not row["links"]:
+                continue
+            depth = row["crawl_depth"] + 1
+            if depth > config.max_depth:
+                continue
+            for raw in row["links"]:
+                cu = canonical_url_py(raw)
+                if not (f".{cc}" in cu.lower() or ".com" in cu.lower()):
+                    continue
+                host = canonical_host_py(cu)
+                if host in excluded:
+                    continue
+                prev = cand.get(cu)
+                if prev is None or depth < prev[1]:
+                    cand[cu] = (depth, depth)
+        fresh = {
+            u: pd_
+            for u, pd_ in cand.items()
+            if u not in seen and u not in deferred
+        }
+        rounds.append(
+            {
+                "scheduled": [u for _, _, u, _ in scheduled],
+                "new": [u for _, _, u, _ in new],
+                "blocked": sorted(blocked),
+                "n_deferred": len(deferred),
+            }
+        )
+        frontier = {**deferred, **fresh}
+
+    return {"rounds": rounds, "seen_set": seen, "results": all_results}
