@@ -1,0 +1,437 @@
+"""Training-data operator conformance — dedup / similarity / text / multimodal.
+
+Large-scale-pipeline operators over the ``documents`` and ``embeddings``
+tables, each with a DuckDB oracle twin. Cross-engine determinism notes:
+- shingle/minhash use md5 strings (lexicographic MIN is engine-neutral);
+- simhash uses 16-bit md5-derived token hashes + per-bit vote sums
+  (integer arithmetic only);
+- cosine similarities are computed as double sums over exploded (pos,
+  val) pairs and rounded to 4 decimals inside the query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# exact + fingerprint dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash, first-doc-wins (hash-groupBy at scale:
+    one shuffle on the fingerprint, no pairwise work)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.col("text"), 1, 60))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fingerprint"))
+        .withColumn("_rn", F.row_number().over(w))
+        .select("doc_id", "fingerprint", (F.col("_rn") > 1).alias("is_dup"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+    SELECT doc_id::BIGINT AS doc_id, fingerprint, rn > 1 AS is_dup
+    FROM (
+      SELECT doc_id, md5(substr(text, 1, 60)) AS fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY md5(substr(text, 1, 60)) ORDER BY doc_id) AS rn
+      FROM documents
+    )
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+    SELECT doc_id::BIGINT AS doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# shingle-based near-dup: n-gram Jaccard + MinHash LSH
+# --------------------------------------------------------------------------
+
+# Spark-side shingles: distinct word 3-grams of the first docs
+def _shingles(spark, sf_dir, max_doc: int):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < max_doc)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = d.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]),
+    )
+    return (
+        d.where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+# DuckDB twin (1-based list indexing)
+_SHINGLES_SQL = """
+      SELECT DISTINCT doc_id::BIGINT AS doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < {max_doc}
+      ), UNNEST(range(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 3
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs (shared-shingle join → count
+    ratio). Scale path: the self-join is on the shingle key, so only
+    docs sharing a shingle ever meet (no O(n²) cross join)."""
+    sh = _shingles(spark, sf_dir, 150).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4))
+        .where(F.col("jaccard") >= 0.2)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+SQL_NGRAM_JACCARD = f"""
+    WITH sh AS ({_SHINGLES_SQL.format(max_doc=150)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+      FROM sh x JOIN sh y USING (shingle)
+      WHERE x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b, ROUND(common / (sa.n + sb.n - common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE ROUND(common / (sa.n + sb.n - common), 4) >= 0.2
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs: per band the min md5(shingle#band) is
+    the signature; docs bucket-join on (band, signature). Scale path: the
+    pairwise work collapses to an equi-join on the band signature."""
+    sh = _shingles(spark, sf_dir, 150)
+    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    sig = (
+        sh.crossJoin(F.broadcast(bands))
+        .select(
+            "doc_id", "band",
+            F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("band").cast("string"))).alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+    a = sig.select(F.col("doc_id").alias("a"), "band", "sig")
+    b = sig.select(F.col("doc_id").alias("b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+SQL_MINHASH_LSH = f"""
+    WITH sh AS ({_SHINGLES_SQL.format(max_doc=150)}),
+    sig AS (
+      SELECT doc_id, band, MIN(md5(shingle || '#' || band::VARCHAR)) AS sig
+      FROM sh, (SELECT UNNEST([0,1,2,3]) AS band)
+      GROUP BY doc_id, band
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM sig x JOIN sig y USING (band, sig)
+    WHERE x.doc_id < y.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash: md5-derived token hash, per-bit majority vote.
+    Integer-only arithmetic ⇒ bit-exact across engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    toks = toks.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return agg.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+_SIMHASH_VOTES_SQL = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16)
+)
+_SIMHASH_COMBINE_SQL = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+)
+SQL_SIMHASH = f"""
+    WITH toks AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             (('0x' || substr(md5(tok), 1, 4))::UBIGINT)::BIGINT AS h
+      FROM (
+        SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), agg AS (
+      SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, ({_SIMHASH_COMBINE_SQL})::BIGINT AS simhash FROM agg
+"""
+
+# --------------------------------------------------------------------------
+# embedding similarity: cosine near-dup + brute-force ANN top-k
+# --------------------------------------------------------------------------
+
+def _vec_pairs_cos(spark, sf_dir, a_max: int, b_min: int, b_max: int):
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    qa = ex.where(F.col("vec_id") < a_max).select(
+        F.col("vec_id").alias("a"), "pos", F.col("val").alias("va")
+    )
+    qb = ex.where((F.col("vec_id") >= b_min) & (F.col("vec_id") < b_max)).select(
+        F.col("vec_id").alias("b"), "pos", F.col("val").alias("vb")
+    )
+    dots = qa.join(qb, "pos").groupBy("a", "b").agg(
+        F.sum(F.col("va") * F.col("vb")).alias("dot")
+    )
+    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
+    return (
+        dots.join(norms.select(F.col("vec_id").alias("a"), F.col("norm").alias("na")), "a")
+        .join(norms.select(F.col("vec_id").alias("b"), F.col("norm").alias("nb")), "b")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
+    )
+
+
+_PAIR_COS_SQL = """
+    WITH ex AS (
+      SELECT vec_id::BIGINT AS vec_id, i AS pos, embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM ex GROUP BY vec_id),
+    dots AS (
+      SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.val * y.val) AS dot
+      FROM ex x JOIN ex y USING (pos)
+      WHERE x.vec_id < {a_max} AND y.vec_id >= {b_min} AND y.vec_id < {b_max}
+      GROUP BY x.vec_id, y.vec_id
+    )
+    SELECT a, b, ROUND(dot / (na.norm * nb.norm), 4) AS cos
+    FROM dots
+    JOIN norms na ON na.vec_id = a
+    JOIN norms nb ON nb.vec_id = b
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs among the first 100 vectors."""
+    pairs = _vec_pairs_cos(spark, sf_dir, 100, 0, 100).where(F.col("a") < F.col("b"))
+    return pairs.where(F.col("cos") >= 0.2).select("a", "b", "cos")
+
+
+SQL_EMB_NEAR_DUP = (
+    "SELECT a, b, cos FROM ("
+    + _PAIR_COS_SQL.format(a_max=100, b_min=0, b_max=100)
+    + ") WHERE a < b AND cos >= 0.2"
+)
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for 5 query vectors (baseline ANN)."""
+    pairs = _vec_pairs_cos(spark, sf_dir, 5, 5, 300)
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select(F.col("a").alias("query_id"), F.col("b").alias("neighbor_id"), "rank", "cos")
+    )
+
+
+SQL_ANN_TOPK = (
+    "SELECT a AS query_id, b AS neighbor_id, rank, cos FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b ASC)::BIGINT AS rank FROM ("
+    + _PAIR_COS_SQL.format(a_max=5, b_min=5, b_max=300)
+    + ")) WHERE rank <= 5"
+)
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def _tokens_expr():
+    return F.filter(F.split(F.col("text"), "[^a-zA-Z0-9]+"), lambda x: x != "")
+
+
+def q_text_tokens(spark, sf_dir):
+    """Token counting (whitespace/non-alnum split)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(_tokens_expr()).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_TEXT_TOKENS = """
+    SELECT doc_id::BIGINT AS doc_id,
+           len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens
+    FROM documents
+"""
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+_STOP_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length, alpha ratio, stopword ratio (rounded)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens_expr()
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(n_stop / F.greatest(n_toks, F.lit(1)), 4).alias("stop_ratio"),
+        F.round(n_alpha / F.greatest(F.length("text"), F.lit(1)), 4).alias("alpha_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           length(text)::BIGINT AS n_chars_calc,
+           len(toks)::BIGINT AS n_tokens,
+           ROUND(len(list_filter(toks, x -> lower(x) IN {_STOP_SQL})) /
+                 GREATEST(len(toks), 1), 4) AS stop_ratio,
+           ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+                 GREATEST(length(text), 1), 4) AS alpha_ratio
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    )
+"""
+
+_LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht", "mit"),
+    "fr": ("le", "la", "les", "et", "des", "une"),
+    "it": ("il", "la", "di", "che", "per", "con"),
+    "en": ("the", "a", "and", "of", "to", "is"),
+}
+
+
+def q_text_langid(spark, sf_dir):
+    """Language-ID heuristic: per-language marker-token hit counts, argmax
+    with fixed precedence de>en>fr>it on ties."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens_expr()
+    d = d.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks"))
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, F.lower(x))))
+    d = d.select("doc_id", *[scores[lg].alias(f"s_{lg}") for lg in ("de", "en", "fr", "it")])
+    best = (
+        F.when((F.col("s_de") >= F.col("s_en")) & (F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_it")), F.lit("de"))
+        .when((F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_it")), F.lit("en"))
+        .when(F.col("s_fr") >= F.col("s_it"), F.lit("fr"))
+        .otherwise(F.lit("it"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("s_de").cast("long").alias("s_de"), F.col("s_en").cast("long").alias("s_en"),
+        F.col("s_fr").cast("long").alias("s_fr"), F.col("s_it").cast("long").alias("s_it"),
+        best.alias("lang_guess"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = "('" + "','".join(_LANG_MARKERS[lang]) + "')"
+    return f"len(list_filter(toks, x -> lower(x) IN {markers}))"
+
+
+SQL_TEXT_LANGID = f"""
+    SELECT doc_id,
+           s_de::BIGINT AS s_de, s_en::BIGINT AS s_en,
+           s_fr::BIGINT AS s_fr, s_it::BIGINT AS s_it,
+           CASE WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_it THEN 'de'
+                WHEN s_en >= s_fr AND s_en >= s_it THEN 'en'
+                WHEN s_fr >= s_it THEN 'fr'
+                ELSE 'it' END AS lang_guess
+    FROM (
+      SELECT doc_id::BIGINT AS doc_id,
+             {_lang_score_sql("de")} AS s_de, {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("fr")} AS s_fr, {_lang_score_sql("it")} AS s_it
+      FROM (
+        SELECT doc_id, list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> '') AS toks
+        FROM documents
+      )
+    )
+"""
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (binary columns)
+# --------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: text→bytes, byte length + header hex.
+    (The decode/feature kernels live in functions/multimodal.py and are
+    exercised by the rows-only query crawl_multimodal.)"""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.substring(F.lower(F.hex(blob)), 1, 16).alias("header_hex"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+    SELECT doc_id::BIGINT AS doc_id,
+           octet_length(text::BLOB)::BIGINT AS n_bytes,
+           substr(lower(hex(text::BLOB)), 1, 16) AS header_hex
+    FROM documents
+"""

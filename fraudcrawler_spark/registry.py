@@ -1,0 +1,127 @@
+"""Query registry: name → (spark_callable, oracle_sql | None).
+
+Consumed by __spark_entry__.py (the driver contract) and by the local
+conformance tests, which replicate the driver's compare (row count +
+schema + order-insensitive values) against DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fraudcrawler_spark import conformance as c
+from fraudcrawler_spark import conformance_ml as m
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name → (query_fn, oracle_sql or None for rows-only checks)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # reference-operator conformance (SURVEY.md §2)
+    "pricing_summary": (c.q_pricing_summary, c.SQL_PRICING),
+    "country_flag": (c.q_country_flag, c.SQL_COUNTRY_FLAG),
+    "canonical_host": (c.q_canonical_host, c.SQL_CANONICAL_HOST),
+    "marketplace_join": (c.q_marketplace_join, c.SQL_MARKETPLACE),
+    "excluded_anti_join": (c.q_excluded_anti_join, c.SQL_EXCLUDED_ANTI),
+    "dedup_first_wins": (c.q_dedup_first_wins, c.SQL_DEDUP_FIRST),
+    "dedup_prev_run": (c.q_dedup_prev_run, c.SQL_DEDUP_PREV),
+    "keyword_topk": (c.q_keyword_topk, c.SQL_KEYWORD_TOPK),
+    "topk_per_seed": (c.q_topk_per_seed, c.SQL_TOPK_PER_SEED),
+    "classify": (c.q_classify, c.SQL_CLASSIFY),
+    "probability_flag": (c.q_probability_flag, c.SQL_PROBABILITY),
+    "fetch_left_outer": (c.q_fetch_left_outer, c.SQL_FETCH_LEFT),
+    "set_except": (c.q_set_except, c.SQL_SET_EXCEPT),
+    "union_dedup": (c.q_union_dedup, c.SQL_UNION_DEDUP),
+    "frontier_order": (c.q_frontier_order, c.SQL_FRONTIER_ORDER),
+    "politeness_cells": (c.q_politeness_cells, c.SQL_POLITENESS),
+    "pipeline_composite": (c.q_pipeline_composite, c.SQL_PIPELINE_COMPOSITE),
+    # training-data operators
+    "dedup_exact": (m.q_dedup_exact, m.SQL_DEDUP_EXACT),
+    "text_fingerprint": (m.q_text_fingerprint, m.SQL_TEXT_FINGERPRINT),
+    "dedup_ngram_jaccard": (m.q_dedup_ngram_jaccard, m.SQL_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (m.q_dedup_minhash_lsh, m.SQL_MINHASH_LSH),
+    "dedup_simhash": (m.q_dedup_simhash, m.SQL_SIMHASH),
+    "embedding_near_dup": (m.q_embedding_near_dup, m.SQL_EMB_NEAR_DUP),
+    "ann_topk": (m.q_ann_topk, m.SQL_ANN_TOPK),
+    "text_tokens": (m.q_text_tokens, m.SQL_TEXT_TOKENS),
+    "text_quality": (m.q_text_quality, m.SQL_TEXT_QUALITY),
+    "text_langid": (m.q_text_langid, m.SQL_TEXT_LANGID),
+    "multimodal_meta": (m.q_multimodal_meta, m.SQL_MULTIMODAL_META),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    out = dict((k, v[0]) for k, v in REGISTRY.items())
+    out.update(_ROWS_ONLY)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: crawl engine, pandas-UDF kernels)
+# --------------------------------------------------------------------------
+
+_CORPUS_CACHE: dict[int, str] = {}
+
+
+def _crawl_corpus(n_pages: int = 2000) -> str:
+    """Deterministic on-the-fly corpus for the crawl-engine demos."""
+    import os
+    import tempfile
+
+    from fraudcrawler_spark.datagen import write_corpus
+
+    if n_pages not in _CORPUS_CACHE:
+        d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
+        if not os.path.exists(os.path.join(d, "pages.parquet")):
+            write_corpus(d, n_pages)
+        _CORPUS_CACHE[n_pages] = d
+    return _CORPUS_CACHE[n_pages]
+
+
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full M1 pipeline on the synthetic page corpus (extract kernel,
+    flag-not-drop, dedup, classify) — validated against the reference
+    trace simulator in tests; rows-only here."""
+    from fraudcrawler_spark.pipeline import run_pipeline
+
+    return run_pipeline(spark, _crawl_corpus()).drop("product_images")
+
+
+def q_crawl_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One frontier round: politeness cells + Bloom seen probe + fetch —
+    returns the round-0 results table."""
+    import tempfile
+    import shutil
+    import os
+
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.frontier.crawl import run_crawl
+
+    root = os.path.join(tempfile.gettempdir(), "fc_conf_round")
+    shutil.rmtree(root, ignore_errors=True)
+    state = run_crawl(
+        spark, _crawl_corpus(), root, CrawlConfig(host_budget=8, max_depth=1),
+        max_rounds=1,
+    )
+    return state.read("results", 0).drop("links", "product_images")
+
+
+def q_crawl_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing over the html:binary column (stubbed
+    decode kernel, real schema/batching) — rows-only."""
+    from fraudcrawler_spark.functions.multimodal import decode_binary_meta
+
+    pages = spark.read.parquet(f"{_crawl_corpus()}/pages.parquet")
+    return decode_binary_meta(pages.select("url", "html"), "html")
+
+
+_ROWS_ONLY: dict[str, QueryFn] = {
+    "crawl_pipeline": q_crawl_pipeline,
+    "crawl_frontier_round": q_crawl_frontier_round,
+    "crawl_multimodal": q_crawl_multimodal,
+}

@@ -1,0 +1,84 @@
+"""Replicates the driver's DuckDB-oracle compare for every registry query:
+row count + column names + order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from fraudcrawler_spark.registry import REGISTRY, _ROWS_ONLY
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.4f}"
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in idx) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_oracle_match(spark, sf_dir, name):
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = _duck(sf_dir)
+    res = con.sql(sql)
+    duck_cols = res.columns
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _norm_rows(spark_cols, spark_rows)
+    b = _norm_rows(duck_cols, duck_rows)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+@pytest.mark.parametrize("name", sorted(_ROWS_ONLY))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = _ROWS_ONLY[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 25
