@@ -37,6 +37,10 @@ BASE_TS = datetime(2025, 5, 23, 0, 0, 0, tzinfo=timezone.utc)
 TERMS = ["sildenafil", "kuehlschrank", "vitamin", "aspirin"]
 TLDS = ["ch", "com", "it", "de", "fr"]
 LANGS = ["de", "fr", "it", "en"]
+_WORDS = [
+    "premium", "organic", "certified", "generic", "express", "discount",
+    "wholesale", "imported", "refurbished", "limited", "seasonal", "classic",
+]
 
 _TAG_RE = re.compile(r"<[^>]+>")
 _HREF_RE = re.compile(r'<a\s+href="([^"]+)"')
@@ -161,6 +165,18 @@ def generate_pages(n_pages: int, n_hosts: int | None = None) -> pd.DataFrame:
             for j in range(pid % 3):
                 parts.append(f'<img src="https://{host}/img/{pid}_{j}.jpg">')
             parts.append(f'<p class="description">{desc}</p>')
+        # body content: Common-Crawl pages are KBs of prose, not 1-line
+        # stubs — extraction cost must be realistic for the bench
+        parts.append('<div class="content">')
+        for j in range(12):
+            w = _WORDS[(pid * 7 + j * 3) % len(_WORDS)]
+            w2 = _WORDS[(pid + j * 11 + 5) % len(_WORDS)]
+            parts.append(
+                f"<p>Section {j}: {w} {w2} review for item {pid} on {host}; "
+                f"rating {(pid + j) % 5} of 5, stock {(pid * j) % 97}, "
+                f"delivered in {(pid + j * 13) % 14} days by carrier {w2}{j}.</p>"
+            )
+        parts.append("</div>")
         parts.append('<ul class="links">')
         for k, href in enumerate(hrefs):
             parts.append(f'<li><a href="{href}">link {k}</a></li>')
@@ -267,9 +283,11 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
     paths = {}
     for name, df in tables.items():
         p = os.path.join(out_dir, f"{name}.parquet")
-        # microsecond timestamps — Spark rejects parquet TIMESTAMP(NANOS)
+        # microsecond timestamps — Spark rejects parquet TIMESTAMP(NANOS);
+        # small row groups — Spark parallelizes scans at row-group
+        # granularity, one giant group would serialize every pages scan
         df.to_parquet(p, index=False, coerce_timestamps="us",
-                      allow_truncated_timestamps=True)
+                      allow_truncated_timestamps=True, row_group_size=4096)
         paths[name] = p
     return paths
 

@@ -60,8 +60,12 @@ class CrawlState:
         return os.path.join(self.root, table, f"round={round_no:05d}")
 
     def write(self, table: str, round_no: int, df: DataFrame,
-              sort_cols: list[str] | None = None) -> None:
+              sort_cols: list[str] | None = None,
+              ncoalesce: int | None = None) -> None:
         w = df
+        if ncoalesce:
+            # small per-round tables: avoid 32-64 tiny files per write
+            w = w.coalesce(ncoalesce)
         if sort_cols:
             # Iceberg-style sort order within files: frontier is kept sorted
             # by (priority, host, crawl_depth) so round selection scans are

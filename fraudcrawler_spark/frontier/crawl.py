@@ -33,7 +33,7 @@ from fraudcrawler_spark.config import (
     STAGE_DEDUP_PREVIOUS,
 )
 from fraudcrawler_spark.frontier.checkpoint import CrawlState
-from fraudcrawler_spark.frontier.politeness import STAGE_ROBOTS, schedule
+from fraudcrawler_spark.frontier.politeness import STAGE_ROBOTS, schedule_status
 from fraudcrawler_spark.frontier.seen import SeenStore, with_part
 from fraudcrawler_spark.functions.urls import canonical_host_expr, canonical_url_expr
 from fraudcrawler_spark.operators.classify_stage import classify_stage
@@ -112,24 +112,40 @@ def run_round(
 ) -> bool:
     """Execute round ``round_no``; returns False when the frontier is empty."""
     t0 = time.time()
+    phase: dict[str, float] = {}
+
+    def _mark(name: str, since: list[float]) -> None:
+        now = time.time()
+        phase[name] = round(now - since[0], 3)
+        since[0] = now
+
+    tick = [time.time()]
     frontier = state.read("frontier", round_no)
     n_frontier = frontier.count()
     if n_frontier == 0:
         return False
+    _mark("t_read", tick)
 
     # --- politeness + robots ------------------------------------------------
-    # localCheckpoint: small per-round sets; truncates lineage so the many
-    # downstream actions don't replay the whole round DAG.
-    scheduled, deferred, blocked = schedule(
+    # ONE window pass, materialized once (localCheckpoint truncates lineage
+    # so downstream actions don't replay the round DAG), then sliced.
+    sched_st = schedule_status(
         frontier, tables.get("robots"), config.host_budget, config.salt_shards
-    )
-    scheduled = scheduled.localCheckpoint()
-    deferred = deferred.localCheckpoint()
-    blocked = blocked.localCheckpoint()
+    ).localCheckpoint()
+    sched_counts = {
+        r["sched_status"]: r["count"]
+        for r in sched_st.groupBy("sched_status").count().collect()
+    }
+    scheduled = sched_st.where(F.col("sched_status") == "scheduled").drop("sched_status")
+    deferred = sched_st.where(F.col("sched_status") == "deferred").drop("sched_status")
+    blocked = sched_st.where(F.col("sched_status") == "blocked").drop("sched_status")
+    _mark("t_schedule", tick)
 
     # --- seen-set probe (Bloom pre-filter + exact confirm) -------------------
     new_urls = store.filter_new(scheduled).localCheckpoint()
+    n_new = new_urls.count()
     dup = scheduled.join(new_urls, "url", "left_anti")
+    _mark("t_probe", tick)
 
     # --- claim: blocked + new urls enter the seen set ------------------------
     store.add(new_urls.select("url").unionByName(blocked.select("url")))
@@ -137,10 +153,11 @@ def run_round(
     # parquet — the round barrier that keeps seen-state lineage flat
     state.write("seen", round_no, with_part(
         new_urls.select("url").unionByName(blocked.select("url")),
-        config.seen_partitions))
-    state.write("bloom", round_no, store.segments)
+        config.seen_partitions), ncoalesce=8)
+    state.write("bloom", round_no, store.segments, ncoalesce=4)
     store.load(state.read("bloom", round_no),
                state.read_all("seen", round_no))
+    _mark("t_claim", tick)
 
     # --- fetch + extract + flag + classify -----------------------------------
     items = (
@@ -159,9 +176,13 @@ def run_round(
     # results parquet is both the round output and the barrier for expansion
     state.write("results", round_no, results)
     results = state.read("results", round_no)
+    _mark("t_fetch", tick)
 
     # --- link expansion → next frontier candidates ----------------------------
-    expanded = (
+    # single pass: explode + canonicalize + status-tag (country/excluded/ok),
+    # materialized once, then sliced for candidates vs lineage
+    cc = config.country_code.lower()
+    raw_expanded = (
         results.where(~F.col("filtered"))
         .select(
             F.col("url").alias("src_url"),
@@ -175,22 +196,28 @@ def run_round(
             (F.col("crawl_depth") + 1).alias("crawl_depth"),
         )
         .where(F.col("crawl_depth") <= F.lit(config.max_depth))
+        .withColumn("host", canonical_host_expr(F.col("url")))
     )
-    # country flag at enqueue (reference F1 semantics, serp.py:150-158)
-    cc = config.country_code.lower()
     keep = F.lower(F.col("url")).contains(f".{cc}") | F.lower(F.col("url")).contains(".com")
-    country_flagged = expanded.where(~keep)
-    expanded = expanded.where(keep).withColumn(
-        "host", canonical_host_expr(F.col("url"))
-    )
-    # excluded-domain hard drop (reference J2, serp.py:244-246)
     excl = tables.get("excluded_hosts")
     if excl is not None:
         excl_dom = excl.select(F.explode("domains").alias("host")).distinct()
-        dropped = expanded.join(F.broadcast(excl_dom), "host", "left_semi")
-        expanded = expanded.join(F.broadcast(excl_dom), "host", "left_anti")
+        raw_expanded = raw_expanded.join(
+            F.broadcast(excl_dom.withColumn("_excl", F.lit(True))), "host", "left"
+        )
     else:
-        dropped = expanded.limit(0)
+        raw_expanded = raw_expanded.withColumn("_excl", F.lit(None).cast("boolean"))
+    # country flag at enqueue (reference F1, serp.py:150-158); excluded
+    # domains hard-drop (reference J2, serp.py:244-246)
+    raw_expanded = raw_expanded.withColumn(
+        "link_status",
+        F.when(~keep, F.lit("country"))
+        .when(F.col("_excl"), F.lit("excluded"))
+        .otherwise(F.lit("ok")),
+    ).drop("_excl").localCheckpoint()
+    country_flagged = raw_expanded.where(F.col("link_status") == "country")
+    dropped = raw_expanded.where(F.col("link_status") == "excluded")
+    expanded = raw_expanded.where(F.col("link_status") == "ok")
 
     candidates = (
         expanded.groupBy("url")
@@ -206,9 +233,11 @@ def run_round(
     )
     # also drop candidates already waiting in the deferred frontier
     fresh = fresh.join(deferred.select("url"), "url", "left_anti").localCheckpoint()
+    n_enqueued = fresh.count()
     next_frontier = deferred.select(*FRONTIER_COLS).unionByName(
         fresh.select(*FRONTIER_COLS)
     )
+    _mark("t_expand", tick)
 
     # --- lineage + metrics ----------------------------------------------------
     lineage = (
@@ -224,9 +253,7 @@ def run_round(
         .agg(F.count("*").alias("n_scheduled"))
         .withColumn("round", F.lit(round_no))
     )
-    n_scheduled = scheduled.count()
-    n_new = new_urls.count()
-    n_results = results.count()
+    n_scheduled = int(sched_counts.get("scheduled", 0))
     elapsed = time.time() - t0
     totals = spark.createDataFrame(
         [
@@ -234,25 +261,31 @@ def run_round(
                 "round": round_no,
                 "n_frontier": n_frontier,
                 "n_scheduled": n_scheduled,
-                "n_deferred": deferred.count(),
-                "n_blocked": blocked.count(),
+                "n_deferred": int(sched_counts.get("deferred", 0)),
+                "n_blocked": int(sched_counts.get("blocked", 0)),
                 "n_new": n_new,
                 "n_dup": n_scheduled - n_new,
-                "n_results": n_results,
-                "n_enqueued": fresh.count(),
+                "n_results": n_new,  # one result row per newly-claimed url
+                "n_enqueued": n_enqueued,
                 "elapsed_sec": elapsed,
                 "urls_per_sec": (n_scheduled + n_new) / elapsed if elapsed > 0 else 0.0,
+                **phase,
             }
         ]
     )
 
     # --- commit ---------------------------------------------------------------
-    state.write("lineage", round_no, lineage)
-    state.write("metrics", round_no, totals)
-    state.write("host_metrics", round_no, host_metrics)
+    # file-count discipline: ~100k rows per file, uncapped for huge rounds
+    def _nc(rows: int) -> int | None:
+        return None if rows > 2_000_000 else max(1, rows // 100_000 + 1)
+
+    state.write("lineage", round_no, lineage, ncoalesce=_nc(n_enqueued + n_scheduled))
+    state.write("metrics", round_no, totals, ncoalesce=1)
+    state.write("host_metrics", round_no, host_metrics, ncoalesce=1)
     state.write(
         "frontier", round_no + 1, next_frontier,
         sort_cols=["priority", "host", "crawl_depth"],
+        ncoalesce=_nc(n_enqueued + int(sched_counts.get("deferred", 0))),
     )
     state.commit(round_no)
     return True

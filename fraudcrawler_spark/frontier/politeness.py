@@ -65,26 +65,24 @@ def robots_flag(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     )
 
 
-def schedule(
+def schedule_status(
     frontier: DataFrame,
     robots: DataFrame | None,
     host_budget: int,
     salt_shards: int = 4,
     round_ms: int = 60_000,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """frontier → (scheduled, deferred, robots_blocked).
+) -> DataFrame:
+    """frontier → frontier + ``sched_status`` ∈ {scheduled, deferred, blocked}.
 
-    frontier columns: url, host, priority, crawl_depth (+ passthrough).
+    One pass (single window shuffle on (host, salt)); callers filter on
+    the status column — materialize once, slice many times.
     - robots-blocked rows leave the frontier permanently (lineage keeps them),
     - per (host, salt) cell the top ceil(budget/s) rows in canonical order
-      are scheduled; the rest are deferred to the next round.
+      (priority, crawl_depth, url) are scheduled; the rest are deferred.
     """
     fr = robots_flag(frontier, robots)
-    blocked = fr.where(F.col("robots_blocked")).drop("robots_blocked")
-    open_ = fr.where(~F.col("robots_blocked")).drop("robots_blocked")
-
     per_cell = int(math.ceil(host_budget / salt_shards))
-    open_ = open_.withColumn(
+    fr = fr.withColumn(
         "salt", F.pmod(F.crc32(F.col("url")), F.lit(salt_shards)).cast("int")
     ).withColumn(
         "_cell_budget",
@@ -100,14 +98,35 @@ def schedule(
             ),
         ),
     )
+    # blocked rows sort LAST within the cell so they never consume budget
+    # slots; their own status short-circuits to 'blocked' anyway
     w = Window.partitionBy("host", "salt").orderBy(
-        F.col("priority"), F.col("crawl_depth"), F.col("url")
+        F.col("robots_blocked").cast("int"),
+        F.col("priority"), F.col("crawl_depth"), F.col("url"),
     )
-    ranked = open_.withColumn("_rn", F.row_number().over(w))
-    scheduled = ranked.where(F.col("_rn") <= F.col("_cell_budget")).drop(
-        "_rn", "_cell_budget", "salt", "crawl_delay_ms"
+    ranked = fr.withColumn("_rn", F.row_number().over(w))
+    status = (
+        F.when(F.col("robots_blocked"), F.lit("blocked"))
+        .when(F.col("_rn") <= F.col("_cell_budget"), F.lit("scheduled"))
+        .otherwise(F.lit("deferred"))
     )
-    deferred = ranked.where(F.col("_rn") > F.col("_cell_budget")).drop(
-        "_rn", "_cell_budget", "salt", "crawl_delay_ms"
+    return ranked.withColumn("sched_status", status).drop(
+        "_rn", "_cell_budget", "salt", "crawl_delay_ms", "robots_blocked"
     )
-    return scheduled, deferred, blocked.drop("crawl_delay_ms")
+
+
+def schedule(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    host_budget: int,
+    salt_shards: int = 4,
+    round_ms: int = 60_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(scheduled, deferred, blocked) — convenience slicing of
+    ``schedule_status`` for callers that don't manage materialization."""
+    st = schedule_status(frontier, robots, host_budget, salt_shards, round_ms)
+    return (
+        st.where(F.col("sched_status") == "scheduled").drop("sched_status"),
+        st.where(F.col("sched_status") == "deferred").drop("sched_status"),
+        st.where(F.col("sched_status") == "blocked").drop("sched_status"),
+    )

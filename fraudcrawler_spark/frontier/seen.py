@@ -147,14 +147,14 @@ class SeenStore:
         seg_df = self._segments
         if seg_df is None:
             seg_df = self.spark.createDataFrame([], SEG_SCHEMA)
-        merged = (
+        # cogroup is a FULL cogroup: partitions with no new urls still
+        # appear (left empty, right = segment) and pass through unchanged,
+        # so no separate "untouched" pass is needed
+        self._segments = (
             new.groupBy("part")
             .cogroup(seg_df.groupBy("part"))
             .applyInPandas(_merge, SEG_SCHEMA)
         )
-        # untouched segments must survive the merge
-        untouched = seg_df.join(merged.select("part"), "part", "left_anti")
-        self._segments = merged.unionByName(untouched)
 
         add_seen = new.select("part", "url")
         self._seen = (
