@@ -640,3 +640,56 @@ SQL_PIPELINE_COMPOSITE = f"""
                 ELSE -1 END AS classification
     FROM deduped
 """
+
+
+def q_dim_code_lookup(spark, sf_dir):
+    """J4 — language/location name→code resolution: inner join against a
+    broadcast dim with lowercase cast (reference base/base.py:61-90);
+    unmatched names drop (the reference raises at job setup)."""
+    n = _t(spark, sf_dir, "nation")
+    dim = spark.createDataFrame(
+        [("GERMANY", "DE"), ("FRANCE", "FR"), ("ITALY", "IT"),
+         ("SWITZERLAND", "CH"), ("JAPAN", "JP"), ("CANADA", "CA")],
+        "name string, code string",
+    )
+    return (
+        n.join(F.broadcast(dim), n["n_name"] == dim["name"], "inner")
+        .select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.lower(F.col("code")).alias("code"),
+        )
+    )
+
+
+SQL_DIM_CODE_LOOKUP = """
+    WITH dim(name, code) AS (
+      VALUES ('GERMANY','DE'),('FRANCE','FR'),('ITALY','IT'),
+             ('SWITZERLAND','CH'),('JAPAN','JP'),('CANADA','CA')
+    )
+    SELECT n_nationkey::BIGINT AS n_nationkey, n_name, lower(code) AS code
+    FROM nation JOIN dim ON n_name = dim.name
+"""
+
+
+def q_host_restrict(spark, sf_dir):
+    """X7 — marketplace site: restriction as a host predicate on the
+    discovery scan (reference serp.py:222-225 builds 'site:a OR site:b')."""
+    urls = _customer_urls(spark, sf_dir)
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    allowed = [f"shop{i}.ch" for i in range(0, 200, 4)]
+    return urls.select(
+        "c_custkey", "url", host.alias("host")
+    ).where(F.col("host").isin(allowed))
+
+
+SQL_HOST_RESTRICT = """
+    SELECT c_custkey, url, host FROM (
+      SELECT c_custkey, url, regexp_extract(url, '^https?://([^/]+)', 1) AS host
+      FROM ({base})
+    )
+    WHERE host IN ({hosts})
+""".format(
+    base=_CUSTOMER_URLS_SQL,
+    hosts=",".join(f"'shop{i}.ch'" for i in range(0, 200, 4)),
+)

@@ -435,3 +435,121 @@ SQL_MULTIMODAL_META = """
            substr(lower(hex(text::BLOB)), 1, 16) AS header_hex
     FROM documents
 """
+
+# --------------------------------------------------------------------------
+# ANN scale path: random-hyperplane LSH buckets + exact verify
+# --------------------------------------------------------------------------
+
+_N_PLANES = 8
+_LSH_MAX_VEC = 300
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN: 8 md5-derived ±1 hyperplanes → bucket
+    signature → candidate pairs meet ONLY via the bucket equi-join (the
+    100TB path: no all-pairs work) → exact cosine verify ≥ 0.2."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < _LSH_MAX_VEC)
+    ex = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    planes = (
+        spark.range(_N_PLANES).select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("pos")))
+        .select(
+            "j", "pos",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
+                                       F.col("pos").cast("string"))), 1, 1
+                    ), 16, 10
+                ).cast("int") < 8,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)).alias("h"),
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("val") * F.col("h")).alias("dot"))
+    )
+    sigs = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(1, j)")).otherwise(F.lit(0))
+        ).cast("long").alias("sig")
+    )
+    a = sigs.select(F.col("vec_id").alias("a"), "sig")
+    b = sigs.select(F.col("vec_id").alias("b"), "sig")
+    cand = a.join(b, "sig").where(F.col("a") < F.col("b")).select("a", "b")
+    # exact verify on the candidate set only
+    pairs = _vec_pairs_cos(spark, sf_dir, _LSH_MAX_VEC, 0, _LSH_MAX_VEC)
+    return (
+        cand.join(pairs, ["a", "b"])
+        .where(F.col("cos") >= 0.2)
+        .select("a", "b", "cos")
+    )
+
+
+SQL_ANN_LSH = (
+    """
+    WITH ex AS (
+      SELECT vec_id::BIGINT AS vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      WHERE vec_id < {maxv}
+    ),
+    planes AS (
+      SELECT j::INT AS j, pos::INT AS pos,
+             CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || pos::VARCHAR), 1, 1))::UBIGINT < 8
+                  THEN 1.0 ELSE -1.0 END AS h
+      FROM range(0, {np}) AS a(j), range(0, 64) AS b(pos)
+    ),
+    dots AS (
+      SELECT vec_id, j, SUM(val * h) AS dot
+      FROM ex JOIN planes USING (pos)
+      GROUP BY vec_id, j
+    ),
+    sigs AS (
+      SELECT vec_id, SUM(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END)::BIGINT AS sig
+      FROM dots GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM sigs x JOIN sigs y USING (sig)
+      WHERE x.vec_id < y.vec_id
+    ),
+    cosres AS (
+    """
+    + _PAIR_COS_SQL.format(a_max=_LSH_MAX_VEC, b_min=0, b_max=_LSH_MAX_VEC)
+    + """
+    )
+    SELECT a, b, cos FROM cand JOIN cosres USING (a, b)
+    WHERE cos >= 0.2
+    """
+).format(maxv=_LSH_MAX_VEC, np=_N_PLANES)
+
+
+def q_events_window_agg(spark, sf_dir):
+    """Tumbling-window aggregation (streaming metrics analog, batch twin):
+    hourly per-event-type counts + exact decimal sums."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*)::BIGINT AS n,
+           (SUM(value::DECIMAL(18,2)))::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""

@@ -121,6 +121,13 @@ def generate_pages(n_pages: int, n_hosts: int | None = None) -> pd.DataFrame:
         has_product = pid % 10 != 3  # ~10% no product fields
         has_prob = pid % 20 != 7  # ~5% omit probability meta
         term = TERMS[pid % len(TERMS)]
+        # ~20% of pages carry DERIVED terms ("{term}-forte" / "{term}-plus")
+        # — the corpus-side stand-in for DataForSEO keyword suggestions
+        # (reference enrich.py:259-303): enrichment discovers these titles
+        if pid % 5 == 4:
+            term = f"{term}-forte"
+        elif pid % 7 == 6:
+            term = f"{term}-plus"
 
         # out-links: 7 distinct targets + 1 duplicate of the first (~12% dup)
         targets = [(pid * 31 + k * 101 + 7) % n_pages for k in range(7)]

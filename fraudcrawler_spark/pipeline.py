@@ -19,10 +19,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fraudcrawler_spark.config import CrawlConfig, Prompt
+from fraudcrawler_spark.config import CrawlConfig, Enrichment, Prompt
 from fraudcrawler_spark.operators.classify_stage import classify_stage
 from fraudcrawler_spark.operators.dedupe import dedup_flag
 from fraudcrawler_spark.operators.discover import discover
+from fraudcrawler_spark.operators.enrich import derive_enriched_seeds
 from fraudcrawler_spark.operators.fetch import fetch_extract
 
 RESULT_COLUMNS = [
@@ -71,17 +72,28 @@ def run_pipeline(
     corpus_dir: str,
     config: CrawlConfig | None = None,
     seen: DataFrame | None = None,
+    enrichment: Enrichment | None = None,
 ) -> DataFrame:
-    """End-to-end single round over a corpus directory → results DataFrame."""
+    """End-to-end single round over a corpus directory → results DataFrame.
+
+    With ``enrichment`` set, keyword-derived seeds are unioned after the
+    initial ones (reference orchestrator.py:428-447, U2).
+    """
     config = config or CrawlConfig()
     t = read_corpus(spark, corpus_dir)
     prompts = config.prompts or (
         prompts_from_dim(t["prompts"]) if "prompts" in t else ()
     )
 
+    seeds = t["seeds"]
+    if enrichment is not None:
+        seeds = seeds.unionByName(
+            derive_enriched_seeds(t["pages"], t["seeds"], enrichment)
+        )
+
     items = discover(
         t["pages"],
-        t["seeds"],
+        seeds,
         hosts=t.get("hosts"),
         excluded_hosts=t.get("excluded_hosts"),
         country_code=config.country_code,
@@ -89,7 +101,7 @@ def run_pipeline(
     # Deterministic arrival key = reference FIFO at n_workers=1:
     # seeds in priority order, results in rank order per seed.
     items = items.join(
-        F.broadcast(t["seeds"].select("search_term", "priority")), "search_term", "left"
+        F.broadcast(seeds.select("search_term", "priority")), "search_term", "left"
     )
     items = dedup_flag(items, order_by=[F.col("priority"), F.col("serp_rank")], seen=seen)
     items = fetch_extract(items, t["pages"], threshold=config.probability_threshold,

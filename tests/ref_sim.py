@@ -56,19 +56,62 @@ def keep_url(url: str, country_code: str) -> bool:
     return f".{country_code}" in url.lower() or ".com" in url.lower()
 
 
+def _enriched_seed_rows(t: dict, seeds: pd.DataFrame, n_terms: int,
+                        urls_per_term: int) -> pd.DataFrame:
+    """Python twin of operators/enrich.py::derive_enriched_seeds."""
+    title_term = t["pages"]["text"].str.split("\n").str[0].str.split(" ").str[0]
+    pids = t["pages"]["url"].map(_page_id)
+    stats: dict[str, tuple[int, int]] = {}  # term -> (volume, first_seen)
+    for term, pid in zip(title_term, pids):
+        vol, first = stats.get(term, (0, 1 << 60))
+        stats[term] = (vol + 1, min(first, pid))
+    rows = []
+    for seed in seeds.itertuples():
+        cand = []
+        for term, (vol, first) in stats.items():
+            base = term.split("-")[0]
+            if base != seed.search_term or term == seed.search_term:
+                continue
+            if term.endswith("-forte"):
+                cand.append((term, vol, first))
+            elif term.endswith("-plus"):
+                cand.append((term, vol, first + (1 << 40)))
+        # A1 max-volume agg is a no-op here (terms unique) — keep sort+topk
+        cand.sort(key=lambda x: (-x[1], x[2], x[0]))
+        for rank, (term, vol, _) in enumerate(cand[:n_terms], start=1):
+            rows.append(
+                {
+                    "search_term": term,
+                    "search_term_type": "enriched",
+                    "num_results": urls_per_term,
+                    "language_code": seed.language_code,
+                    "location_code": seed.location_code,
+                    "priority": 100 + seed.priority * 10 + rank,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def simulate(
     corpus_dir: str,
     country_code: str = "ch",
     threshold: float = PROBABILITY_THRESHOLD,
     previously_collected: set[str] | None = None,
+    enrichment: tuple[int, int] | None = None,
 ) -> dict:
     """Run the reference pipeline semantics sequentially over the corpus.
 
     Returns {"rows": [...], "visit_order": [...], "seen_set": set()}.
+    ``enrichment=(n_terms, urls_per_term)`` appends keyword-derived seeds
+    after the initial ones (reference orchestrator.py:428-447).
     """
     t = load_corpus(corpus_dir)
     pages = t["pages"].set_index("url", drop=False)
     seeds = t["seeds"].sort_values("priority")
+    if enrichment is not None:
+        extra = _enriched_seed_rows(t, seeds, *enrichment)
+        if len(extra):
+            seeds = pd.concat([seeds, extra], ignore_index=True).sort_values("priority")
     marketplaces = (
         list(t["hosts"].sort_values("host_idx").itertuples()) if "hosts" in t else []
     )

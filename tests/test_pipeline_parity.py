@@ -84,3 +84,19 @@ def test_previous_run_dedup(spark, corpus_dir):
         _norm_rows(sim["rows"])[sorted(eng.columns)],
         check_dtype=False,
     )
+
+
+def test_enrichment_parity(spark, corpus_dir):
+    """Enriched-seed flow (U2/F5/A1/T1): engine vs simulator row sets."""
+    from fraudcrawler_spark.config import Enrichment
+
+    eng = run_pipeline(
+        spark, corpus_dir, enrichment=Enrichment(2, 5)
+    ).toPandas()
+    sim = simulate(corpus_dir, enrichment=(2, 5))
+    assert (eng["search_term_type"] == "enriched").sum() > 0
+    pd.testing.assert_frame_equal(
+        _norm_rows(eng.to_dict("records"))[sorted(eng.columns)],
+        _norm_rows(sim["rows"])[sorted(eng.columns)],
+        check_dtype=False,
+    )
