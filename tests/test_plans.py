@@ -1,0 +1,97 @@
+"""Plan-quality pins: the physical plans we designed for must stay —
+column pruning, broadcast dims, single shuffles, JVM-only hot paths.
+A regression here means a 100TB-scale property silently broke."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fraudcrawler_spark.operators.discover import discover
+from fraudcrawler_spark.operators.dedupe import dedup_flag
+from fraudcrawler_spark.operators.fetch import fetch_extract
+from fraudcrawler_spark.frontier.politeness import schedule_status
+from fraudcrawler_spark.pipeline import read_corpus
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def corpus_tables(spark, corpus_dir):
+    return read_corpus(spark, corpus_dir)
+
+
+def test_discover_plan_prunes_html_and_broadcasts(spark, corpus_tables):
+    d = discover(corpus_tables["pages"], corpus_tables["seeds"],
+                 corpus_tables.get("hosts"), corpus_tables.get("excluded_hosts"))
+    p = _plan(spark, d)
+    # discovery must never read html:binary — column pruning reaches the scan
+    pages_schemas = re.findall(r"ReadSchema: (\S+)", p)
+    assert any("url:string,text:string" in s for s in pages_schemas)
+    assert not any("html" in s for s in pages_schemas)
+    # seeds + dims ride broadcast joins, never a shuffle
+    assert "BroadcastHashJoin" in p
+
+
+def test_fetch_plan_reads_html_once_left_outer(spark, corpus_tables):
+    items = (
+        corpus_tables["pages"].select("url").limit(100)
+        .withColumn("filtered", F.lit(False))
+        .withColumn("filtered_at_stage", F.lit(None).cast("string"))
+    )
+    f = fetch_extract(items, corpus_tables["pages"])
+    p = _plan(spark, f)
+    # html is projected into exactly one scan (the fetch join's pages side)
+    assert len(re.findall(r"ReadSchema: \S*html:binary", p)) == 1
+    # the extract kernel is Arrow-vectorized, not row-at-a-time Python
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_schedule_plan_single_shuffle(spark, corpus_tables):
+    frontier = corpus_tables["pages"].select(
+        "url", F.lit("h").alias("host"), F.lit(0).alias("priority"),
+        F.lit(0).alias("crawl_depth"),
+    )
+    s = schedule_status(frontier, corpus_tables.get("robots"), 8, 4)
+    p = _plan(spark, s)
+    # one hash exchange for the (host, salt) window; robots is broadcast
+    shuffles = [m for m in re.findall(r"\(\d+\) Exchange", p)]
+    assert len(shuffles) == 1, p[:200]
+    assert "BroadcastExchange" in p
+    # no Python anywhere in scheduling
+    assert "EvalPython" not in p
+
+
+def test_dedup_plan_single_shuffle_no_python(spark, corpus_tables):
+    items = corpus_tables["pages"].select("url").withColumn(
+        "filtered", F.lit(False)
+    ).withColumn("filtered_at_stage", F.lit(None).cast("string"))
+    d = dedup_flag(items, order_by=[F.col("url")])
+    p = _plan(spark, d)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "EvalPython" not in p
+
+
+def test_classify_is_jvm_only(spark, sf_dir):
+    from fraudcrawler_spark.conformance import q_classify
+
+    p = _plan(spark, q_classify(spark, sf_dir))
+    # md5 classifier stays inside whole-stage codegen — no Python stage
+    # (the leading '*' marks codegen'd operators in formatted mode)
+    assert "EvalPython" not in p
+    assert "* Project" in p
+
+
+def test_pricing_partial_agg_and_pruning(spark, sf_dir):
+    from fraudcrawler_spark.conformance import q_pricing_summary
+
+    p = _plan(spark, q_pricing_summary(spark, sf_dir))
+    # partial (map-side) + final aggregate
+    assert len(re.findall(r"HashAggregate", p)) >= 2
+    # scan reads only the 5 needed columns of 11
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and len(m.group(1).split(",")) == 5, m.group(1) if m else p[:300]
