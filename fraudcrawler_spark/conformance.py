@@ -141,7 +141,7 @@ SQL_COUNTRY_FLAG = f"""
     FROM ({_CUSTOMER_URLS_SQL})
 """
 
-_HOST_PAT_SQL = r"^(?:https?://)?(?:[^/@:?#]*@)?([^/:?#]+)"
+_HOST_PAT_SQL = r"^(?:https?://)?(?:[^/@:?#]*@)?([^/@:?#]+)"
 
 
 def q_canonical_host(spark, sf_dir):
@@ -693,3 +693,71 @@ SQL_HOST_RESTRICT = """
     base=_CUSTOMER_URLS_SQL,
     hosts=",".join(f"'shop{i}.ch'" for i in range(0, 200, 4)),
 )
+
+
+def q_json_extract(spark, sf_dir):
+    """X13/X14 — nested-JSON field extraction with None-coalescing at
+    each level (reference enrich.py:47-61 item iterator semantics):
+    events.props is a JSON string; pull $.k null-safely."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        k.cast("long").alias("k"),
+        F.coalesce(k.cast("long"), F.lit(-1)).alias("k_or_default"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+    SELECT event_id::BIGINT AS event_id,
+           json_extract_string(props, '$.k')::BIGINT AS k,
+           COALESCE(json_extract_string(props, '$.k')::BIGINT, -1) AS k_or_default
+    FROM events
+"""
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """Scalar-function inventory (X10 split/trim, X11 lower, X12 base64,
+    X15 timestamp format) in one projection."""
+    c = _t(spark, sf_dir, "customer")
+    dom_list = F.transform(
+        F.split(F.concat(F.lit("a.ch, b"), F.pmod(F.col("c_custkey"), F.lit(7)).cast("string"),
+                         F.lit(".ch ,c.com")), ","),
+        lambda x: F.trim(x),
+    )
+    return c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.lower(F.col("c_mktsegment")).alias("seg_lower"),
+        F.base64(F.encode(F.col("c_name"), "utf-8")).alias("name_b64"),
+        F.concat_ws("|", dom_list).alias("domains_split"),
+        F.date_format(F.lit("2025-05-23 01:02:03").cast("timestamp"),
+                      "yyyyMMddHHmmss").alias("run_ts"),
+    )
+
+
+SQL_SCALAR_FUNCS = """
+    SELECT c_custkey::BIGINT AS c_custkey,
+           lower(c_mktsegment) AS seg_lower,
+           to_base64(c_name::BLOB) AS name_b64,
+           list_aggregate(
+             list_transform(string_split('a.ch, b' || (c_custkey % 7)::VARCHAR || '.ch ,c.com', ','),
+                            x -> trim(x)), 'string_agg', '|') AS domains_split,
+           strftime(TIMESTAMP '2025-05-23 01:02:03', '%Y%m%d%H%M%S') AS run_ts
+    FROM customer
+"""
+
+
+def q_distinct_urls(spark, sf_dir):
+    """A2 — exact distinct accumulation (the seen-set cardinality metric)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+SQL_DISTINCT_URLS = """
+    SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users,
+           COUNT(*)::BIGINT AS n_events
+    FROM events GROUP BY event_type
+"""

@@ -27,7 +27,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 # host = chars up to first of / : ? #, after optional scheme and userinfo
-_HOST_PATTERN = r"^(?:https?://)?(?:[^/@:?#]*@)?([^/:?#]+)"
+_HOST_PATTERN = r"^(?:https?://)?(?:[^/@:?#]*@)?([^/@:?#]+)"
 
 
 def canonical_host_expr(url: Column) -> Column:
@@ -51,11 +51,18 @@ def canonical_url_expr(url: Column) -> Column:
     only): normalizes scheme + www so all four href variants emitted by
     the corpus collapse to the stored ``pages.url`` form, enabling the
     fetch equi-join. Fragment is dropped; empty path stays empty.
+    No extractable host ⇒ the url passes through UNCHANGED (keeps the
+    transform idempotent on garbage inputs — pinned by property test).
     """
-    host = canonical_host_expr(url)
+    raw_host = F.regexp_extract(url, _HOST_PATTERN, 1)
+    host = F.regexp_replace(F.lower(raw_host), r"^www\.", "")
     rest = F.regexp_replace(url, _HOST_PATTERN, "")
     rest = F.regexp_replace(rest, r"#.*$", "")
-    return F.concat(F.lit("https://"), host, rest)
+    # a rest starting with '@' would re-parse as userinfo — strip it
+    rest = F.regexp_replace(rest, r"^(?:[^/:?#]*@)+", "")
+    return F.when(raw_host == "", url).otherwise(
+        F.concat(F.lit("https://"), host, rest)
+    )
 
 
 def canonical_host_py(url: str) -> str:
@@ -72,9 +79,13 @@ def canonical_url_py(url: str) -> str:
     """Python twin of ``canonical_url_expr``."""
     import re
 
-    host = canonical_host_py(url)
+    m = re.search(_HOST_PATTERN, url)
+    if not m or not m.group(1):
+        return url  # no extractable host — pass through (idempotence)
+    host = re.sub(r"^www\.", "", m.group(1).lower())
     rest = re.sub(_HOST_PATTERN, "", url, count=1)
     rest = re.sub(r"#.*$", "", rest)
+    rest = re.sub(r"^(?:[^/:?#]*@)+", "", rest)
     return "https://" + host + rest
 
 

@@ -52,6 +52,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_window_agg": (m.q_events_window_agg, m.SQL_EVENTS_WINDOW),
     "dim_code_lookup": (c.q_dim_code_lookup, c.SQL_DIM_CODE_LOOKUP),
     "host_restrict": (c.q_host_restrict, c.SQL_HOST_RESTRICT),
+    "json_extract": (c.q_json_extract, c.SQL_JSON_EXTRACT),
+    "scalar_funcs": (c.q_scalar_funcs, c.SQL_SCALAR_FUNCS),
+    "distinct_urls": (c.q_distinct_urls, c.SQL_DISTINCT_URLS),
 }
 
 

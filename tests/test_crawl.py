@@ -121,3 +121,33 @@ def test_resume_exactness(spark, corpus_dir, tmp_path_factory, crawl_state):
     seen_a = {r[0] for r in crawl_state.read_all("seen", last).select("url").collect()}
     seen_b = {r[0] for r in state2.read_all("seen", last).select("url").collect()}
     assert seen_a == seen_b
+
+
+def test_crash_mid_round_resume(spark, corpus_dir, tmp_path_factory, crawl_state):
+    """Crash AFTER some round-K tables landed but BEFORE the manifest
+    commit → resume reruns round K, overwriting partials; final state is
+    identical to the uninterrupted run (atomic-manifest guarantee)."""
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("crawl_crash"))
+    run_crawl(spark, corpus_dir, root, CFG, max_rounds=2)
+
+    # simulate a crash during round 2: partial (corrupt) table data is on
+    # disk for round 2 but the manifest still says last_round == 1
+    import os
+    partial = os.path.join(root, "results", "round=00002")
+    os.makedirs(partial, exist_ok=True)
+    with open(os.path.join(partial, "part-corrupt.parquet"), "w") as f:
+        f.write("garbage — crashed mid-write")
+
+    state2 = run_crawl(spark, corpus_dir, root, CFG, max_rounds=ROUNDS)
+    last = crawl_state.read_manifest()["last_round"]
+    assert state2.read_manifest()["last_round"] == last
+
+    a = crawl_state.read_all("results", last).toPandas()
+    b = state2.read_all("results", last).toPandas()
+    a = a.sort_values(["round", "url"]).reset_index(drop=True)
+    b = b.sort_values(["round", "url"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["url"] == b["url"]).all()
+    assert (a["filtered"].astype(bool) == b["filtered"].astype(bool)).all()
