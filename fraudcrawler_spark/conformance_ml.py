@@ -553,3 +553,126 @@ SQL_EVENTS_WINDOW = """
     FROM events
     GROUP BY 1, 2
 """
+
+# --------------------------------------------------------------------------
+# Zyte product-JSON extraction analog (X2-X6 + keep_product, zyte.py:100-194)
+# --------------------------------------------------------------------------
+
+def _product_json_expr():
+    """Deterministic nested product JSON built from doc_id — the Zyte
+    response shape (zyte.py:56-72), with missing-field variants:
+    doc_id%7==0 → no product object; %5==0 → no probability; %3==0 → no
+    mainImage."""
+    did = F.col("doc_id").cast("string")
+    prob = F.round(F.pmod(F.col("doc_id") * 37, F.lit(100)) / 100.0, 2).cast("string")
+    main = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("")).otherwise(
+        F.concat(F.lit('"mainImage":{"url":"m'), did, F.lit('"},'))
+    )
+    meta = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit("")).otherwise(
+        F.concat(F.lit(',"metadata":{"probability":'), prob, F.lit("}"))
+    )
+    full = F.concat(
+        F.lit('{"url":"https://shop'), did, F.lit('.ch","product":{'),
+        main,
+        F.lit('"name":"p'), did, F.lit('","price":"'), did,
+        F.lit('.99 CHF","description":"d'), did,
+        F.lit('","images":[{"url":"i'), did, F.lit('a"},{"url":null}]'),
+        meta, F.lit("}}"),
+    )
+    return F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+                  F.concat(F.lit('{"url":"https://shop'), did, F.lit('.ch"}'))
+                  ).otherwise(full)
+
+
+def q_product_extract(spark, sf_dir):
+    """X2-X6 — null-safe nested product-field extraction + the strict->
+    keep_product threshold (missing probability ⇒ keep=false,
+    zyte.py:100-117)."""
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"))
+    j = d.withColumn("raw", _product_json_expr())
+    g = lambda p: F.get_json_object(F.col("raw"), p)
+    prob = g("$.product.metadata.probability").cast("double")
+    images = F.concat_ws(
+        "|",
+        g("$.product.mainImage.url"),
+        g("$.product.images[0].url"),
+        g("$.product.images[1].url"),
+    )
+    return j.select(
+        "doc_id",
+        g("$.product.name").alias("product_name"),
+        g("$.product.price").alias("product_price"),
+        g("$.product.description").alias("product_description"),
+        images.alias("images_concat"),
+        F.round(prob, 4).alias("probability"),
+        F.coalesce(prob > 0.1, F.lit(False)).alias("keep"),
+    )
+
+
+SQL_PRODUCT_EXTRACT = """
+    WITH j AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '{"url":"https://shop' || doc_id::VARCHAR || '.ch"}'
+                  ELSE '{"url":"https://shop' || doc_id::VARCHAR || '.ch","product":{'
+                       || CASE WHEN doc_id % 3 = 0 THEN ''
+                               ELSE '"mainImage":{"url":"m' || doc_id::VARCHAR || '"},' END
+                       || '"name":"p' || doc_id::VARCHAR || '","price":"' || doc_id::VARCHAR
+                       || '.99 CHF","description":"d' || doc_id::VARCHAR
+                       || '","images":[{"url":"i' || doc_id::VARCHAR || 'a"},{"url":null}]'
+                       || CASE WHEN doc_id % 5 = 0 THEN ''
+                               ELSE ',"metadata":{"probability":' ||
+                                    ROUND((doc_id * 37) % 100 / 100.0, 2)::VARCHAR || '}' END
+                       || '}}'
+             END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           json_extract_string(raw, '$.product.name') AS product_name,
+           json_extract_string(raw, '$.product.price') AS product_price,
+           json_extract_string(raw, '$.product.description') AS product_description,
+           concat_ws('|',
+             json_extract_string(raw, '$.product.mainImage.url'),
+             json_extract_string(raw, '$.product.images[0].url'),
+             json_extract_string(raw, '$.product.images[1].url')) AS images_concat,
+           ROUND(json_extract_string(raw, '$.product.metadata.probability')::DOUBLE, 4) AS probability,
+           COALESCE(json_extract_string(raw, '$.product.metadata.probability')::DOUBLE > 0.1,
+                    FALSE) AS keep
+    FROM j
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ 3 among the
+    first 200 docs (bit_count(xor) — integer-exact both engines)."""
+    sh = q_dedup_simhash(spark, sf_dir).where(F.col("doc_id") < 200)
+    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("long"))
+        .where(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+    WITH toks AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             (('0x' || substr(md5(tok), 1, 4))::UBIGINT)::BIGINT AS h
+      FROM (
+        SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id < 200
+      ) WHERE tok <> ''
+    ), agg AS (
+      SELECT doc_id, {_SIMHASH_VOTES_SQL} FROM toks GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, ({_SIMHASH_COMBINE_SQL})::BIGINT AS simhash FROM agg
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+    FROM sh x, sh y
+    WHERE x.doc_id < y.doc_id
+      AND bit_count(xor(x.simhash, y.simhash)) <= 3
+"""

@@ -55,6 +55,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "json_extract": (c.q_json_extract, c.SQL_JSON_EXTRACT),
     "scalar_funcs": (c.q_scalar_funcs, c.SQL_SCALAR_FUNCS),
     "distinct_urls": (c.q_distinct_urls, c.SQL_DISTINCT_URLS),
+    "product_extract": (m.q_product_extract, m.SQL_PRODUCT_EXTRACT),
+    "simhash_pairs": (m.q_simhash_pairs, m.SQL_SIMHASH_PAIRS),
 }
 
 
