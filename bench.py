@@ -246,9 +246,16 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
-    corpus = _bench_corpus()
-    timings = run_headline(sf_dir, cpus)
-    scaling = run_scaling(corpus)
+    # resilient: always emit the one JSON line, even if a phase dies
+    timings: dict[str, float] = {}
+    scaling: dict = {}
+    try:
+        corpus = _bench_corpus()
+        timings = run_headline(sf_dir, cpus)
+        scaling = run_scaling(corpus)
+    except Exception as e:  # partial results beat no results
+        scaling.setdefault("error", repr(e)[:200])
+        scaling.setdefault("core_4n_urls_per_sec", 0.0)
 
     print(
         json.dumps(

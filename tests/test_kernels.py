@@ -150,3 +150,29 @@ def test_classify_guards():
     # digit almost surely not 7 → default; and if it is 7, it's allowed
     got = classify_py(narrow, "u", "a", "b")
     assert got in (7, narrow.default_if_missing)
+
+
+def test_multimodal_decode_stub(spark):
+    """mapInPandas multimodal plumbing: schema, determinism, empty-payload
+    stub path (feat columns null, metadata still real)."""
+    import pandas as pd
+
+    from fraudcrawler_spark.functions.multimodal import decode_binary_meta
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["u1", "u2", "u3"],
+             "html": [b"payload-bytes-1", b"", None]}
+        )
+    )
+    out = decode_binary_meta(df, "html").toPandas().set_index("url")
+    assert out.loc["u1", "n_bytes"] == 15
+    assert out.loc["u1", "feat_mean"] is not None
+    # empty/None payloads: NotImplementedError stub → null features,
+    # byte metadata still populated
+    assert out.loc["u2", "n_bytes"] == 0
+    assert pd.isna(out.loc["u2", "feat_mean"])
+    assert out.loc["u3", "n_bytes"] == 0
+    # deterministic
+    out2 = decode_binary_meta(df, "html").toPandas().set_index("url")
+    assert (out.fillna(0) == out2.fillna(0)).all().all()
