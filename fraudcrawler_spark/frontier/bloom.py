@@ -85,13 +85,15 @@ class BloomSegment:
         return seg
 
 
-def segments_to_pdf(segments: dict[int, BloomSegment]) -> pd.DataFrame:
+def segments_to_pdf(segments: dict[int, BloomSegment],
+                    n_items: dict[int, int] | None = None) -> pd.DataFrame:
     """{part → segment} → checkpointable pandas frame."""
     return pd.DataFrame(
         {
             "part": list(segments.keys()),
             "capacity": [s.capacity for s in segments.values()],
             "n_hashes": [s.n_hashes for s in segments.values()],
+            "n_items": [int((n_items or {}).get(p, 0)) for p in segments],
             "bitmap": [s.to_bytes() for s in segments.values()],
         }
     )

@@ -157,6 +157,11 @@ def run_round(
     state.write("bloom", round_no, store.segments, ncoalesce=4)
     store.load(state.read("bloom", round_no),
                state.read_all("seen", round_no))
+    # segment health: max load factor across Bloom segments (>1.0 ⇒ FP
+    # rate past design point; exactness unaffected, resize advised)
+    fill = store.segments.select(
+        F.max(F.col("n_items") / F.col("capacity")).alias("m")
+    ).collect()[0]["m"]
     _mark("t_claim", tick)
 
     # --- fetch + extract + flag + classify -----------------------------------
@@ -269,6 +274,7 @@ def run_round(
                 "n_enqueued": n_enqueued,
                 "elapsed_sec": elapsed,
                 "urls_per_sec": (n_scheduled + n_new) / elapsed if elapsed > 0 else 0.0,
+                "seen_fill_ratio": float(fill or 0.0),
                 **phase,
             }
         ]

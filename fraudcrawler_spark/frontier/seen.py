@@ -37,6 +37,7 @@ SEG_SCHEMA = StructType(
         StructField("part", IntegerType()),
         StructField("capacity", LongType()),
         StructField("n_hashes", IntegerType()),
+        StructField("n_items", LongType()),
         StructField("bitmap", BinaryType()),
     ]
 )
@@ -131,15 +132,23 @@ class SeenStore:
             part = int(left["part"].iloc[0]) if not left.empty else int(right["part"].iloc[0])
             if right.empty:
                 seg = BloomSegment(cap)
+                n_items = 0
             else:
                 seg = segments_from_pdf(right)[part]
+                n_items = int(right["n_items"].iloc[0]) if "n_items" in right else 0
             if not left.empty:
                 seg.add_many(left["url"].tolist())
+                n_items += len(left)
+            # n_items tracks segment load: fill > capacity means the FP
+            # rate is degrading (correctness is unaffected — positives are
+            # always confirmed exactly — but re-sizing is due); surfaced
+            # via seen_fill_ratio in the round metrics
             return pd.DataFrame(
                 {
                     "part": [part],
                     "capacity": [seg.capacity],
                     "n_hashes": [seg.n_hashes],
+                    "n_items": [n_items],
                     "bitmap": [seg.to_bytes()],
                 }
             )

@@ -129,8 +129,31 @@ def q_crawl_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_binary_meta(pages.select("url", "html"), "html")
 
 
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest (watermark dedup + in-stream extract)
+    run with availableNow over the synthetic corpus, read back as a batch
+    DataFrame — rows-only (streaming is not SQL-oracle-able)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fraudcrawler_spark.streaming.ingest import ingest_query
+
+    base = os.path.join(tempfile.gettempdir(), "fc_conf_stream")
+    shutil.rmtree(base, ignore_errors=True)
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    src = os.path.join(_crawl_corpus(), "pages.parquet")
+    shutil.copy(src, os.path.join(indir, "b1.parquet"))
+    q = ingest_query(spark, indir, os.path.join(base, "out"),
+                     os.path.join(base, "ckpt"))
+    q.trigger(availableNow=True).start().awaitTermination(300)
+    return spark.read.parquet(os.path.join(base, "out"))
+
+
 _ROWS_ONLY: dict[str, QueryFn] = {
     "crawl_pipeline": q_crawl_pipeline,
     "crawl_frontier_round": q_crawl_frontier_round,
     "crawl_multimodal": q_crawl_multimodal,
+    "streaming_ingest": q_streaming_ingest,
 }

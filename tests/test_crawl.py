@@ -151,3 +151,19 @@ def test_crash_mid_round_resume(spark, corpus_dir, tmp_path_factory, crawl_state
     assert len(a) == len(b)
     assert (a["url"] == b["url"]).all()
     assert (a["filtered"].astype(bool) == b["filtered"].astype(bool)).all()
+
+
+def test_salting_bounds_skew(spark, corpus_dir):
+    """Zipf-head hosts split across salt cells: the widest (host, salt)
+    cell is ~1/s of the widest host (the straggler-killer property)."""
+    import zlib
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet").toPandas()
+    hosts = pages["url"].str.extract(r"^https://([^/]+)")[0]
+    by_host = hosts.value_counts()
+    biggest = by_host.index[0]
+    urls = pages.loc[hosts == biggest, "url"]
+    s = 4
+    cells = urls.map(lambda u: zlib.crc32(u.encode()) % s).value_counts()
+    assert by_host.iloc[0] > 100  # the corpus really is skewed
+    assert cells.max() <= by_host.iloc[0] / s * 1.5  # ~uniform split

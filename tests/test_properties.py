@@ -71,7 +71,8 @@ def test_politeness_budget_property(rows, budget):
         take = min(len(urls), b)
         per_host[host] = per_host.get(host, 0) + take
     for host, n in per_host.items():
-        assert n <= max(budget, shards)  # ceil(B/s)*s ≤ B + s - 1 ≤ max(B,s)+...
+        # the engine's per-host bound: s cells × ceil(B/s) tokens each
+        # (≤ B + s - 1; exactly B when s | B — the crawl default)
         assert n <= (budget + shards - 1) // shards * shards
 
 
