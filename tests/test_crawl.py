@@ -167,3 +167,25 @@ def test_salting_bounds_skew(spark, corpus_dir):
     cells = urls.map(lambda u: zlib.crc32(u.encode()) % s).value_counts()
     assert by_host.iloc[0] > 100  # the corpus really is skewed
     assert cells.max() <= by_host.iloc[0] / s * 1.5  # ~uniform split
+
+
+def test_empty_seed_crawl(spark, tmp_path_factory):
+    """No matching seeds → empty frontier → crawl terminates cleanly."""
+    import os
+
+    import pandas as pd
+
+    from fraudcrawler_spark.datagen import write_corpus
+
+    d = str(tmp_path_factory.mktemp("empty_corpus"))
+    write_corpus(d, 300)
+    # overwrite seeds with a term that matches nothing
+    pd.DataFrame(
+        [{"search_term": "nomatch", "search_term_type": "initial",
+          "num_results": 5, "language_code": "de", "location_code": "ch",
+          "priority": 0}]
+    ).to_parquet(os.path.join(d, "seeds.parquet"), index=False)
+    root = str(tmp_path_factory.mktemp("empty_state"))
+    state = run_crawl(spark, d, root, CFG, max_rounds=3)
+    assert state.read_manifest()["last_round"] == -1
+    assert state.read("frontier", 0).count() == 0
