@@ -156,7 +156,13 @@ def core_throughput_worker(cpus: int, corpus: str) -> None:
     # this sandbox is a shared-host VM (steal-time bursts) — take the
     # best run and report host steal%% per sample for transparency
     runs = []
-    for _ in range(int(os.environ.get("FC_BENCH_RUNS", "3"))):
+    budget = float(os.environ.get("FC_WORKER_BUDGET_SEC", "240"))
+    t_start = time.time()
+    for i in range(int(os.environ.get("FC_BENCH_RUNS", "3"))):
+        # never blow the overall bench budget: stop early once we have a
+        # warmup + at least one warm run
+        if i >= 2 and time.time() - t_start > budget:
+            break
         j0 = _cpu_jiffies()
         e, n = one_run()
         runs.append((e, n, _steal_pct(j0, _cpu_jiffies())))
