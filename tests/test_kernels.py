@@ -176,3 +176,26 @@ def test_multimodal_decode_stub(spark):
     # deterministic
     out2 = decode_binary_meta(df, "html").toPandas().set_index("url")
     assert (out.fillna(0) == out2.fillna(0)).all().all()
+
+
+def test_enrich_terms_semantics(spark):
+    """T1/A1/F5/U1 — union, self-exclusion, max-volume agg, volume-desc
+    top-k with STABLE first-seen tie-break (reference enrich.py:292-302)."""
+    import pandas as pd
+
+    from fraudcrawler_spark.operators.enrich import enrich_terms
+
+    suggested = spark.createDataFrame(pd.DataFrame({
+        "text": ["alpha", "beta", "orig", "gamma"],
+        "volume": [10, 30, 99, 30],
+        "arrival_idx": [0, 1, 2, 3],
+    }))
+    related = spark.createDataFrame(pd.DataFrame({
+        "text": ["beta", "delta", "epsilon"],
+        "volume": [25, 30, 5],
+        "arrival_idx": [100, 101, 102],
+    }))
+    got = [tuple(r) for r in enrich_terms(suggested, related, "orig", 3).collect()]
+    # beta: max(30,25)=30 first_seen 1; gamma 30@3; delta 30@101; alpha 10
+    # orig excluded; ties on volume keep first-seen order (stable sort)
+    assert got == [("beta", 30), ("gamma", 30), ("delta", 30)]
