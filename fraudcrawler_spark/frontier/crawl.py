@@ -141,19 +141,20 @@ def run_round(
     blocked = sched_st.where(F.col("sched_status") == "blocked").drop("sched_status")
     _mark("t_schedule", tick)
 
-    # --- seen-set probe (Bloom pre-filter + exact confirm) -------------------
-    new_urls = store.filter_new(scheduled).localCheckpoint()
+    # --- fused seen probe + claim (Bloom + exact confirm, one cogroup) -------
+    claim_input = scheduled.select("url").withColumn(
+        "is_blocked", F.lit(False)
+    ).unionByName(blocked.select("url").withColumn("is_blocked", F.lit(True)))
+    new_all = store.probe_and_claim(claim_input)
+    new_urls = new_all.where(~F.col("is_blocked")).select("url").localCheckpoint()
     n_new = new_urls.count()
     dup = scheduled.join(new_urls, "url", "left_anti")
     _mark("t_probe", tick)
 
-    # --- claim: blocked + new urls enter the seen set ------------------------
-    store.add(new_urls.select("url").unionByName(blocked.select("url")))
     # persist claimed delta + segments NOW, then reload the store from
     # parquet — the round barrier that keeps seen-state lineage flat
     state.write("seen", round_no, with_part(
-        new_urls.select("url").unionByName(blocked.select("url")),
-        config.seen_partitions), ncoalesce=8)
+        new_all.select("url"), config.seen_partitions), ncoalesce=8)
     state.write("bloom", round_no, store.segments, ncoalesce=4)
     store.load(state.read("bloom", round_no),
                state.read_all("seen", round_no))

@@ -120,6 +120,102 @@ class SeenStore:
         )
         return negatives.unionByName(confirmed_new)
 
+    # -- fused probe + claim -------------------------------------------------
+    def probe_and_claim(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
+        """ONE cogroup pass over (urls ⨝ segments): Bloom-negative urls
+        are definitely new — claimed into the segment immediately;
+        Bloom-positives are exact-confirmed against the seen table and
+        (rare: false positives only) claimed in a tiny second pass.
+
+        Input may carry extra BOOLEAN/STRING passthrough columns (e.g.
+        is_blocked); returns the newly-claimed rows (url + passthroughs).
+        Updates ``self._segments`` (caller persists). Halves the shuffle
+        and Python-pass count of the old probe-then-merge round path.
+        """
+        extra_cols = [c for c in urls.columns if c != url_col]
+        inp = with_part(
+            urls.select(F.col(url_col).alias("url"), *extra_cols), self.partitions
+        )
+        cap = self.capacity_per_part
+
+        out_fields = [StructField("kind", StringType()), StructField("url", StringType())]
+        # passthroughs must be NULLABLE: segment rows carry null there even
+        # when the input column was non-nullable (e.g. lit(False))
+        out_fields += [
+            StructField(c, inp.schema[c].dataType, True) for c in extra_cols
+        ]
+        out_fields += [
+            StructField("part", IntegerType()),
+            StructField("capacity", LongType()),
+            StructField("n_hashes", IntegerType()),
+            StructField("n_items", LongType()),
+            StructField("bitmap", BinaryType()),
+        ]
+        out_schema = StructType(out_fields)
+        empty_seg_cols = {
+            "part": None, "capacity": None, "n_hashes": None,
+            "n_items": None, "bitmap": None,
+        }
+
+        def _fused(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            part = int(left["part"].iloc[0]) if not left.empty else int(right["part"].iloc[0])
+            if right.empty:
+                seg, n_items = BloomSegment(cap), 0
+            else:
+                seg = segments_from_pdf(right)[part]
+                n_items = int(right["n_items"].iloc[0]) if "n_items" in right else 0
+            rows = []
+            if not left.empty:
+                hit = seg.contains_many(left["url"].tolist())
+                new_rows = left[~hit]
+                if len(new_rows):
+                    seg.add_many(new_rows["url"].tolist())
+                    n_items += len(new_rows)
+                for kind, sub in (("new", new_rows), ("maybe", left[hit])):
+                    for _, r in sub.iterrows():
+                        rows.append(
+                            {"kind": kind, "url": r["url"],
+                             **{c: r[c] for c in extra_cols}, **empty_seg_cols}
+                        )
+            rows.append(
+                {"kind": "seg", "url": None, **{c: None for c in extra_cols},
+                 "part": part, "capacity": seg.capacity,
+                 "n_hashes": seg.n_hashes, "n_items": n_items,
+                 "bitmap": seg.to_bytes()}
+            )
+            return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+        seg_df = self._segments
+        if seg_df is None:
+            seg_df = self.spark.createDataFrame([], SEG_SCHEMA)
+        fused = (
+            inp.groupBy("part")
+            .cogroup(seg_df.groupBy("part"))
+            .applyInPandas(_fused, out_schema)
+        ).localCheckpoint()
+
+        self._segments = fused.where(F.col("kind") == "seg").select(
+            "part", "capacity", "n_hashes", "n_items", "bitmap"
+        )
+        definite_new = fused.where(F.col("kind") == "new").select("url", *extra_cols)
+        maybe = fused.where(F.col("kind") == "maybe").select("url", *extra_cols)
+        if self._seen is not None:
+            confirmed_new = maybe.join(self._seen.select("url"), "url", "left_anti")
+        else:
+            confirmed_new = maybe
+        confirmed_new = confirmed_new.localCheckpoint()
+        if confirmed_new.count() > 0:
+            # Bloom false positives that are actually new — claim them too
+            # (add() updates segments AND appends them to the seen table)
+            self.add(confirmed_new.select("url"))
+        new_all = definite_new.unionByName(confirmed_new)
+
+        add_seen = with_part(definite_new.select("url"), self.partitions)
+        self._seen = (
+            add_seen if self._seen is None else self._seen.unionByName(add_seen)
+        )
+        return new_all
+
     # -- update ------------------------------------------------------------
     def add(self, new_urls: DataFrame, url_col: str = "url") -> None:
         """Merge claimed urls into segments + seen table (in-memory DFs;
