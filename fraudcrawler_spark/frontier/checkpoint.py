@@ -46,10 +46,24 @@ class CrawlState:
             return json.load(f)
 
     def commit(self, round_no: int, extra: dict | None = None) -> None:
-        """Atomic commit point: manifest rename AFTER all round data lands."""
+        """Atomic commit point: manifest rename AFTER all round data lands.
+
+        The manifest keeps a commit history (run registry — the reference's
+        in-memory Results list analog, client.py:45,130-134), so every
+        snapshot is enumerable like Iceberg's snapshot log."""
+        import datetime
+
         m = self.read_manifest()
         m.update(extra or {})
         m["last_round"] = round_no
+        m.setdefault("history", []).append(
+            {
+                "round": round_no,
+                "committed_at": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(timespec="seconds"),
+            }
+        )
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
         with os.fdopen(fd, "w") as f:
             json.dump(m, f)
