@@ -80,5 +80,6 @@ class CrawlConfig:
     max_depth: int = DEFAULT_MAX_DEPTH
     host_budget: int = DEFAULT_HOST_BUDGET
     seen_partitions: int = SEEN_PARTITIONS
+    seen_capacity_per_part: int = 1 << 16
     salt_shards: int = HOST_SALT_SHARDS
     prompts: tuple[Prompt, ...] = field(default_factory=tuple)

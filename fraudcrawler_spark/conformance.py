@@ -441,7 +441,10 @@ SQL_PROBABILITY = f"""
 
 
 def q_fetch_left_outer(spark, sf_dir):
-    """J5 — fetch-as-left-outer-join: missing page == fetch failure."""
+    """J5 + §2.9 retry surface — fetch-as-left-outer-join: missing page ==
+    fetch failure, surfaced as an explicit fetch_status column ('miss' =
+    retry-exhaustion terminal state, operators/fetch.py) rather than only
+    null extract fields."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return (
@@ -449,13 +452,16 @@ def q_fetch_left_outer(spark, sf_dir):
         .groupBy(F.col("c_custkey").cast("long").alias("c_custkey"))
         .agg(F.count("o_orderkey").alias("n_orders"))
         .select("c_custkey", F.col("n_orders").cast("long").alias("n_orders"),
-                (F.col("n_orders") > 0).alias("fetched"))
+                (F.col("n_orders") > 0).alias("fetched"),
+                F.when(F.col("n_orders") > 0, F.lit("hit"))
+                 .otherwise(F.lit("miss")).alias("fetch_status"))
     )
 
 
 SQL_FETCH_LEFT = """
     SELECT c_custkey::BIGINT AS c_custkey, COUNT(o_orderkey)::BIGINT AS n_orders,
-           COUNT(o_orderkey) > 0 AS fetched
+           COUNT(o_orderkey) > 0 AS fetched,
+           CASE WHEN COUNT(o_orderkey) > 0 THEN 'hit' ELSE 'miss' END AS fetch_status
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
 """
@@ -507,8 +513,21 @@ def q_frontier_order(spark, sf_dir):
         F.concat(F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(20)).cast("string")).alias("host"),
         F.pmod(F.col("o_orderkey"), F.lit(3)).cast("long").alias("crawl_depth"),
     )
-    w = Window.orderBy("priority", "host", "crawl_depth", "o_orderkey")
-    return fr.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= 100)
+    # Global top-100 WITHOUT a global-order window (which would funnel the
+    # whole frontier through one task): orderBy+limit compiles to
+    # TakeOrderedAndProject — each partition keeps its local top-100, the
+    # driver merges. Rank is then derived over the bounded 100-row result
+    # via a window partitioned on a constant-valued but NON-FOLDABLE key
+    # (pmod(o_orderkey, 1) ≡ 0; lit(1) would be folded away and re-trigger
+    # the unpartitioned-window path): one 100-row partition by design.
+    order = ["priority", "host", "crawl_depth", "o_orderkey"]
+    top = fr.orderBy(*order).limit(100).withColumn(
+        "_b", F.pmod(F.col("o_orderkey"), F.lit(1))
+    )
+    w = Window.partitionBy("_b").orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long")).drop("_b")
+    )
 
 
 SQL_FRONTIER_ORDER = """

@@ -96,28 +96,53 @@ _SHINGLES_SQL = """
 """
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
+def ngram_jaccard_pairs(sh, threshold: float = 0.2, max_df: int | None = None):
     """Word-3-gram Jaccard near-dup pairs (shared-shingle join → count
-    ratio). Scale path: the self-join is on the shingle key, so only
-    docs sharing a shingle ever meet (no O(n²) cross join)."""
-    sh = _shingles(spark, sf_dir, 150).cache()
+    ratio). Scale path: the self-join is on the shingle key, so only docs
+    sharing a shingle ever meet (no O(n²) cross join).
+
+    max_df: document-frequency cap on join shingles. A shingle present in
+    D docs contributes D·(D-1)/2 candidate pairs, so one hot shingle
+    ("the quick brown" at web scale) makes the equi-join quadratic in that
+    key. With max_df set, shingles whose doc-frequency exceeds it are
+    dropped from CANDIDATE GENERATION and the common-count (standard
+    stop-shingle practice — cf. SpotSigs, Theobald et al., SIGIR 2008);
+    set sizes stay exact, so reported jaccard is a lower bound and pairs
+    sharing only ultra-common shingles are the ones sacrificed. None = no
+    cap = exact (the oracle configuration)."""
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    join_sh = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle", "left_semi")
+    a = join_sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = join_sh.select(F.col("doc_id").alias("b"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    out = (
+    return (
         common.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
         .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4))
-        .where(F.col("jaccard") >= 0.2)
+        .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    return out
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Oracle entry: exact configuration (max_df off — DuckDB twin has no
+    cap; at 100-TB scale callers pass max_df to bound hot-shingle fan-out,
+    see ngram_jaccard_pairs)."""
+    return ngram_jaccard_pairs(_shingles(spark, sf_dir, 150), max_df=None)
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -643,8 +668,9 @@ SQL_PRODUCT_EXTRACT = """
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ 3 among the
-    first 200 docs (bit_count(xor) — integer-exact both engines)."""
+    """SimHash near-dup pairs, all-pairs ORACLE TWIN (tiny 200-doc cap
+    only — the primary, scale-path operator is q_simhash_pairs_banded):
+    hamming(simhash_a, simhash_b) ≤ 3 (bit_count(xor) — integer-exact)."""
     sh = q_dedup_simhash(spark, sf_dir).where(F.col("doc_id") < 200)
     a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
     b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
@@ -655,6 +681,51 @@ def q_simhash_pairs(spark, sf_dir):
         .where(F.col("hamming") <= 3)
         .select("a", "b", "hamming")
     )
+
+
+def simhash_pairs_banded(sh, max_hamming: int = 3, n_bands: int = 4,
+                         bits: int = 16):
+    """PRIMARY near-dup-pairs path: banded-bits candidate generation.
+
+    Pigeonhole: two 16-bit simhashes within hamming ≤ 3 differ in at most
+    3 of the 4 disjoint 4-bit bands, so they agree EXACTLY on ≥ 1 band.
+    Candidates come from an equi-join on (band, band_value) — never an
+    all-pairs cross join — then are hamming-verified exactly. Identical
+    result set to the all-pairs scan by construction; join fan-out is
+    bounded per (band, value) bucket instead of O(n²) global.
+    """
+    assert bits % n_bands == 0 and max_hamming < n_bands
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    spark = sh.sparkSession
+    bands = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    keyed = sh.crossJoin(F.broadcast(bands)).select(
+        "doc_id", "simhash", "band",
+        F.expr(f"shiftright(simhash, band * {width}) & {mask}").alias("bkey"),
+    )
+    a = keyed.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"),
+                     "band", "bkey")
+    b = keyed.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"),
+                     "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def q_simhash_pairs_banded(spark, sf_dir):
+    """Banded SimHash near-dup pairs — equal-by-hash to q_simhash_pairs on
+    the same 200-doc cap (oracle = the same all-pairs SQL), but the plan is
+    the 100-TB one: per-band equi-join, no cross join."""
+    sh = q_dedup_simhash(spark, sf_dir).where(F.col("doc_id") < 200)
+    return simhash_pairs_banded(sh)
 
 
 SQL_SIMHASH_PAIRS = f"""

@@ -3,7 +3,8 @@
 The reference keeps the seen set as one in-memory ``Set[str]`` behind a
 single-threaded collector (orchestrator.py:92-93,150-188) — the
 serialization point of its pipeline. At 10^10 URLs that is ~1 TB of raw
-strings; instead we hash-partition by ``pmod(xxhash64(canonical_url), P)``
+strings; instead we hash-partition by ``crc32(canonical_url) % P``
+(F.crc32 in Spark, zlib.crc32 in the trace simulator — bit-identical)
 and keep one numpy-bitarray Bloom segment per partition (10 bits/key ⇒
 ~1% FP at k=7; 10^10 keys ≈ 12.5 GB total ≈ 100 MB × 128 segments —
 each segment fits comfortably in one executor task).

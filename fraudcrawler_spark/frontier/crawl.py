@@ -88,13 +88,29 @@ def init_crawl(
     state.write("frontier", 0, frontier0, sort_cols=["priority", "host", "crawl_depth"])
     state.write("seed_lineage", 0, _lineage(flagged, STAGE_COUNTRY).withColumn(
         "round", F.lit(-1)))
-    state.commit(-1, {"corpus_dir": corpus_dir})
+    # seen-store layout params are STATE, not config: segments and the seen
+    # table are routed by crc32(url) % seen_partitions at write time, so a
+    # resume MUST reuse the writing run's values or urls route to the wrong
+    # segments (false Bloom negatives → duplicate claims)
+    state.commit(-1, {
+        "corpus_dir": corpus_dir,
+        "seen_partitions": config.seen_partitions,
+        "seen_capacity_per_part": config.seen_capacity_per_part,
+    })
     return state
 
 
 def _load_seen(spark: SparkSession, state: CrawlState, upto: int,
                config: CrawlConfig) -> SeenStore:
-    store = SeenStore(spark, partitions=config.seen_partitions)
+    """Build the SeenStore for (re)start — ADOPTING the manifest's persisted
+    partitioning/bloom params over the caller's config when they disagree
+    (the persisted segments are only valid under the params that wrote them)."""
+    manifest = state.read_manifest()
+    partitions = int(manifest.get("seen_partitions", config.seen_partitions))
+    capacity = int(
+        manifest.get("seen_capacity_per_part", config.seen_capacity_per_part)
+    )
+    store = SeenStore(spark, partitions=partitions, capacity_per_part=capacity)
     if upto >= 0 and state.exists("bloom", upto):
         segs = state.read("bloom", upto)
         seen = state.read_all("seen", upto)
@@ -153,8 +169,10 @@ def run_round(
 
     # persist claimed delta + segments NOW, then reload the store from
     # parquet — the round barrier that keeps seen-state lineage flat
+    # store.partitions (manifest-adopted), NOT config.seen_partitions — the
+    # persisted layout wins over whatever the resuming caller passed
     state.write("seen", round_no, with_part(
-        new_all.select("url"), config.seen_partitions), ncoalesce=8)
+        new_all.select("url"), store.partitions), ncoalesce=8)
     state.write("bloom", round_no, store.segments, ncoalesce=4)
     store.load(state.read("bloom", round_no),
                state.read_all("seen", round_no))

@@ -17,6 +17,7 @@ Update path: claimed urls cogroup-merged into per-partition segments
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,10 +153,7 @@ class SeenStore:
             StructField("bitmap", BinaryType()),
         ]
         out_schema = StructType(out_fields)
-        empty_seg_cols = {
-            "part": None, "capacity": None, "n_hashes": None,
-            "n_items": None, "bitmap": None,
-        }
+        out_cols = [f.name for f in out_fields]
 
         def _fused(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             part = int(left["part"].iloc[0]) if not left.empty else int(right["part"].iloc[0])
@@ -164,26 +162,33 @@ class SeenStore:
             else:
                 seg = segments_from_pdf(right)[part]
                 n_items = int(right["n_items"].iloc[0]) if "n_items" in right else 0
-            rows = []
-            if not left.empty:
-                hit = seg.contains_many(left["url"].tolist())
-                new_rows = left[~hit]
-                if len(new_rows):
-                    seg.add_many(new_rows["url"].tolist())
-                    n_items += len(new_rows)
-                for kind, sub in (("new", new_rows), ("maybe", left[hit])):
-                    for _, r in sub.iterrows():
-                        rows.append(
-                            {"kind": kind, "url": r["url"],
-                             **{c: r[c] for c in extra_cols}, **empty_seg_cols}
-                        )
-            rows.append(
-                {"kind": "seg", "url": None, **{c: None for c in extra_cols},
-                 "part": part, "capacity": seg.capacity,
-                 "n_hashes": seg.n_hashes, "n_items": n_items,
-                 "bitmap": seg.to_bytes()}
+            seg_row = pd.DataFrame(
+                {"kind": ["seg"], "url": [None],
+                 **{c: [None] for c in extra_cols},
+                 "part": [part], "capacity": [seg.capacity],
+                 "n_hashes": [seg.n_hashes], "n_items": [n_items],
+                 "bitmap": [seg.to_bytes()]}
             )
-            return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+            if left.empty:
+                return seg_row[out_cols]
+            # column-wise output construction — no per-row Python loop on
+            # the hot path (this kernel sees every scheduled url per round)
+            hit = seg.contains_many(left["url"].tolist())
+            new_urls = left.loc[~hit, "url"]
+            if len(new_urls):
+                seg.add_many(new_urls.tolist())
+                n_items += len(new_urls)
+                seg_row.loc[:, "n_items"] = n_items
+                seg_row.loc[:, "bitmap"] = [seg.to_bytes()]
+            url_part = pd.DataFrame(
+                {"kind": np.where(hit, "maybe", "new"),
+                 "url": left["url"].to_numpy(),
+                 **{c: left[c].to_numpy() for c in extra_cols},
+                 "part": None, "capacity": None, "n_hashes": None,
+                 "n_items": None, "bitmap": None}
+            )
+            return pd.concat([url_part[out_cols], seg_row[out_cols]],
+                             ignore_index=True)
 
         seg_df = self._segments
         if seg_df is None:
@@ -203,14 +208,14 @@ class SeenStore:
             confirmed_new = maybe.join(self._seen.select("url"), "url", "left_anti")
         else:
             confirmed_new = maybe
-        confirmed_new = confirmed_new.localCheckpoint()
-        if confirmed_new.count() > 0:
-            # Bloom false positives that are actually new — claim them too
-            # (add() updates segments AND appends them to the seen table)
-            self.add(confirmed_new.select("url"))
         new_all = definite_new.unionByName(confirmed_new)
 
-        add_seen = with_part(definite_new.select("url"), self.partitions)
+        # Bloom false positives (confirmed_new) already answer contains()
+        # True, so merging them into the bitmap would set already-set bits —
+        # a no-op. Only the exact seen table needs them: append new_all
+        # (definite new + confirmed FPs) in one pass, no second cogroup and
+        # no extra count job per round.
+        add_seen = with_part(new_all.select("url"), self.partitions)
         self._seen = (
             add_seen if self._seen is None else self._seen.unionByName(add_seen)
         )

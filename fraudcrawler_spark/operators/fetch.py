@@ -45,11 +45,27 @@ def fetch_extract(
 ) -> DataFrame:
     """items(url, filtered, ...) → + extracted product fields + prob flag."""
     active = items.where(~F.col("filtered"))
-    flagged = items.where(F.col("filtered"))
+    # flagged rows never reach the fetcher (reference orchestrator.py:207)
+    flagged = items.where(F.col("filtered")).withColumn(
+        "fetch_status", F.lit("skipped")
+    )
 
     fetched = active.join(
-        pages.select("url", "html", "lang", "warc_ts"), "url", "left"
-    )
+        pages.select("url", "html", "lang", "warc_ts").withColumn(
+            "_page_hit", F.lit(True)
+        ),
+        "url",
+        "left",
+    ).withColumn(
+        # retry-exhaustion failure surface (reference zyte.py:75-97,
+        # settings.py:4-5: N retries then the row is forwarded unenriched,
+        # orchestrator.py:232-235) — 'miss' is that terminal state, and is
+        # distinguishable from a fetched page with no product markup
+        "fetch_status",
+        F.when(F.col("_page_hit").isNotNull(), F.lit("hit")).otherwise(
+            F.lit("miss")
+        ),
+    ).drop("_page_hit")
     extracted = (
         fetched.withColumn("_x", extract_listing(F.col("html")))
         .drop("html")

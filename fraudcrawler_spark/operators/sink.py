@@ -13,9 +13,12 @@ stands in for the in-memory results list (client.py:45,130-134).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
+from dataclasses import dataclass
+from datetime import datetime
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -47,3 +50,82 @@ def write_results(
         writer.option("header", True).option("quoteAll", True).csv(path)
     else:
         writer.parquet(path)
+
+
+@dataclass(frozen=True)
+class Results:
+    """One run's registry entry (reference client.py:20-24)."""
+
+    search_term: str
+    filename: str
+
+
+class ResultsRegistry:
+    """Run registry + templated result sink (reference client.py:30,45,99-134).
+
+    Reproduces the reference's ``{search_term}_{language}_{location}_
+    {timestamp}.csv`` naming (client.py:30,99-105) and ``load_results
+    (index=-1)`` addressing (client.py:120-128). Difference at scale: the
+    name addresses a DIRECTORY of part files (distributed CSV write with
+    QUOTE_ALL), not one driver-side file — same template, cluster-safe.
+    """
+
+    _filename_template = "{search_term}_{language}_{location}_{timestamp}.csv"
+
+    def __init__(self, spark: SparkSession, results_dir: str):
+        self.spark = spark
+        self.results_dir = results_dir
+        os.makedirs(results_dir, exist_ok=True)
+        self._results: list[Results] = []
+
+    def save(
+        self,
+        df: DataFrame,
+        search_term: str,
+        language: str = "en",
+        location: str = "ch",
+        prompt_names: Sequence[str] = (),
+        timestamp: str | None = None,
+    ) -> str:
+        """Flatten + CSV-write one run's results under the templated name.
+
+        ``timestamp`` defaults to now() in the reference's %Y%m%d%H%M%S
+        format (client.py:99); injectable for deterministic tests.
+        """
+        ts = timestamp or datetime.today().strftime("%Y%m%d%H%M%S")
+        name = self._filename_template.format(
+            search_term=search_term, language=language, location=location,
+            timestamp=ts,
+        )
+        path = os.path.join(self.results_dir, name)
+        out = (
+            flatten_classifications(df, prompt_names)
+            if "classifications" in df.columns
+            else df
+        )
+        # CSV cells are scalars: serialize array columns to JSON strings —
+        # the analog of what the reference's pd.DataFrame.to_csv does to
+        # list cells (client.py:76)
+        from pyspark.sql.types import ArrayType
+
+        for f in out.schema.fields:
+            if isinstance(f.dataType, ArrayType):
+                out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+        write_results(out, path, fmt="csv")
+        self._results.append(Results(search_term=search_term, filename=path))
+        return path
+
+    def load_results(self, index: int = -1) -> DataFrame:
+        """Read back a saved run (index=-1 → most recent, client.py:120-128)."""
+        r = self._results[index]
+        return (
+            self.spark.read.option("header", True)
+            .option("inferSchema", True)
+            .csv(r.filename)
+        )
+
+    def print_available_results(self) -> None:
+        """client.py:130-134 byte-similar listing."""
+        n_res = len(self._results)
+        for i, res in enumerate(self._results):
+            print(f"index={-n_res + i}: {res.search_term} - {res.filename}")

@@ -57,6 +57,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "distinct_urls": (c.q_distinct_urls, c.SQL_DISTINCT_URLS),
     "product_extract": (m.q_product_extract, m.SQL_PRODUCT_EXTRACT),
     "simhash_pairs": (m.q_simhash_pairs, m.SQL_SIMHASH_PAIRS),
+    # banded candidate generation — same result set as the all-pairs twin
+    # by pigeonhole, so it shares the oracle SQL; the PLAN is the scale one
+    "simhash_pairs_banded": (m.q_simhash_pairs_banded, m.SQL_SIMHASH_PAIRS),
 }
 
 
@@ -92,13 +95,42 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
     return _CORPUS_CACHE[n_pages]
 
 
+def _flatten_for_driver(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Driver-compare canonicalization: the harness sorts columns with
+    pandas, which cannot hash dict/list cells — flatten the MapType
+    ``classifications`` to scalar columns (same op the reference applies
+    before its CSV sink, client.py:66-71) and drop any remaining
+    array/map/binary columns."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType
+
+    from fraudcrawler_spark.operators.sink import flatten_classifications
+    from fraudcrawler_spark.pipeline import read_corpus
+
+    if "classifications" in df.columns:
+        prompts = read_corpus(spark, _crawl_corpus()).get("prompts")
+        names = (
+            [r["name"] for r in prompts.select("name").collect()]
+            if prompts is not None
+            else []
+        )
+        df = flatten_classifications(df, names)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, BinaryType))
+    ]
+    return df.drop(*bad)
+
+
 def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full M1 pipeline on the synthetic page corpus (extract kernel,
     flag-not-drop, dedup, classify) — validated against the reference
     trace simulator in tests; rows-only here."""
     from fraudcrawler_spark.pipeline import run_pipeline
 
-    return run_pipeline(spark, _crawl_corpus()).drop("product_images")
+    return _flatten_for_driver(
+        spark, run_pipeline(spark, _crawl_corpus()).drop("product_images")
+    )
 
 
 def q_crawl_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +149,9 @@ def q_crawl_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _crawl_corpus(), root, CrawlConfig(host_budget=8, max_depth=1),
         max_rounds=1,
     )
-    return state.read("results", 0).drop("links", "product_images")
+    return _flatten_for_driver(
+        spark, state.read("results", 0).drop("links", "product_images")
+    )
 
 
 def q_crawl_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,11 @@ def main() -> None:
     last = state.read_manifest()["last_round"]
 
     print(f"== crawl finished at round {last} ==")
-    state.read_all("metrics", last).orderBy("round").select(
+    metrics = state.read_all("metrics", last)
+    if metrics is None:
+        print("no rounds ran (empty frontier — no seeds matched the corpus)")
+        return
+    metrics.orderBy("round").select(
         "round", "n_frontier", "n_scheduled", "n_new", "n_blocked",
         "n_enqueued", F.round("urls_per_sec", 1).alias("urls_per_sec"),
     ).show(truncate=False)

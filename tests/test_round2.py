@@ -1,0 +1,129 @@
+"""Round-2 additions: manifest-pinned seen partitioning, result registry
+filename/index addressing, fetch_status retry surface, banded simhash
+parity, and the Jaccard shingle document-frequency cap."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fraudcrawler_spark.config import CrawlConfig
+from fraudcrawler_spark.frontier.crawl import run_crawl
+
+
+def test_resume_adopts_manifest_seen_partitions(spark, corpus_dir, tmp_path_factory):
+    """Segments/seen are routed by crc32(url) % P at WRITE time — a resume
+    with a different configured P must adopt the persisted P (ADVICE r1:
+    silent mis-routing ⇒ false Bloom negatives ⇒ duplicate claims)."""
+    cfg8 = CrawlConfig(host_budget=8, max_depth=2, seen_partitions=8)
+    base = str(tmp_path_factory.mktemp("adopt_base"))
+    full = run_crawl(spark, corpus_dir, base, cfg8, max_rounds=3)
+
+    root = str(tmp_path_factory.mktemp("adopt_resume"))
+    run_crawl(spark, corpus_dir, root, cfg8, max_rounds=2)
+    # resume with a DIFFERENT configured partition count
+    cfg32 = CrawlConfig(host_budget=8, max_depth=2, seen_partitions=32)
+    resumed = run_crawl(spark, corpus_dir, root, cfg32, max_rounds=3)
+
+    assert resumed.read_manifest()["seen_partitions"] == 8
+    last = full.read_manifest()["last_round"]
+    assert resumed.read_manifest()["last_round"] == last
+    seen_a = {r[0] for r in full.read_all("seen", last).select("url").collect()}
+    seen_b = {r[0] for r in resumed.read_all("seen", last).select("url").collect()}
+    assert seen_a == seen_b
+    # routing stayed on the persisted layout: every part id < 8
+    max_part = resumed.read_all("seen", last).agg(F.max("part")).collect()[0][0]
+    assert max_part < 8
+
+
+def test_results_registry_template_and_index(spark, corpus_dir, tmp_path_factory):
+    """Filename template {term}_{lang}_{loc}_{ts}.csv (client.py:30,99-105)
+    and load_results(index=-1) addressing (client.py:120-128)."""
+    from fraudcrawler_spark.operators.sink import ResultsRegistry
+    from fraudcrawler_spark.pipeline import run_pipeline
+
+    out = str(tmp_path_factory.mktemp("registry"))
+    reg = ResultsRegistry(spark, out)
+    res = run_pipeline(spark, corpus_dir)
+    prompt_names = [
+        r["name"]
+        for r in spark.read.parquet(f"{corpus_dir}/prompts.parquet").select("name").collect()
+    ]
+    p1 = reg.save(res, "sildenafil", language="de", location="ch",
+                  prompt_names=prompt_names, timestamp="20260816120000")
+    p2 = reg.save(res.limit(3), "tramadol", language="fr", location="ch",
+                  prompt_names=prompt_names, timestamp="20260816120001")
+
+    assert os.path.basename(p1) == "sildenafil_de_ch_20260816120000.csv"
+    assert os.path.basename(p2) == "tramadol_fr_ch_20260816120001.csv"
+    # index addressing: -1 = most recent, -2 = the run before it
+    assert reg.load_results(-1).count() == 3
+    assert reg.load_results(-2).count() == res.count()
+    # flattened: no map column survives the sink (CSV cannot hold maps)
+    assert "classifications" not in reg.load_results(-2).columns
+    assert any(
+        c.startswith("classification_") for c in reg.load_results(-2).columns
+    )
+
+
+def test_fetch_status_hit_miss_skipped(spark, corpus_dir):
+    """§2.9 retry surface: 'miss' = retry-exhaustion terminal state
+    (zyte.py:75-97), distinguishable from a fetched page with no product
+    markup; flagged rows never reach the fetcher → 'skipped'."""
+    from fraudcrawler_spark.operators.fetch import fetch_extract
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    present = [r["url"] for r in pages.select("url").limit(2).collect()]
+    items = spark.createDataFrame(
+        [
+            (present[0], False, None),
+            ("https://nowhere.invalid/x", False, None),
+            (present[1], True, "country code filtering"),
+        ],
+        "url string, filtered boolean, filtered_at_stage string",
+    )
+    out = fetch_extract(items, pages).select("url", "fetch_status").collect()
+    status = {r["url"]: r["fetch_status"] for r in out}
+    assert status[present[0]] == "hit"
+    assert status["https://nowhere.invalid/x"] == "miss"
+    assert status[present[1]] == "skipped"
+
+
+def test_simhash_banded_equals_all_pairs(spark, sf_dir):
+    """Pigeonhole correctness: banded candidate generation loses no pair
+    within the hamming radius — identical result set to the all-pairs scan."""
+    from fraudcrawler_spark.conformance_ml import (
+        q_simhash_pairs,
+        q_simhash_pairs_banded,
+    )
+
+    a = {tuple(r) for r in q_simhash_pairs(spark, sf_dir).collect()}
+    b = {tuple(r) for r in q_simhash_pairs_banded(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_jaccard_df_cap_bounds_hot_shingle(spark):
+    """One shingle shared by D docs yields D·(D-1)/2 candidate pairs — the
+    max_df cap drops it from candidate generation; pairs sharing only the
+    hot shingle disappear, pairs sharing rare shingles survive."""
+    from fraudcrawler_spark.conformance_ml import ngram_jaccard_pairs
+
+    rows = []
+    # 40 docs all sharing the hot shingle only
+    rows += [(i, "the quick brown") for i in range(40)]
+    # docs 100/101 share a rare shingle (plus the hot one)
+    for d in (100, 101):
+        rows += [(d, "the quick brown"), (d, "rare shingle pair")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    uncapped = ngram_jaccard_pairs(sh, threshold=0.0, max_df=None)
+    capped = ngram_jaccard_pairs(sh, threshold=0.0, max_df=10)
+    n_uncapped = uncapped.count()
+    capped_pairs = {(r["a"], r["b"]) for r in capped.collect()}
+
+    assert n_uncapped == 42 * 41 // 2  # quadratic blow-up without the cap
+    assert capped_pairs == {(100, 101)}  # only the rare-shingle pair remains
+    # the surviving pair's jaccard is a lower bound (hot shingle excluded
+    # from common but kept in set sizes): common=1, na=nb=2 → 1/3
+    j = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+    assert abs(j[(100, 101)] - round(1 / 3, 4)) < 1e-9
