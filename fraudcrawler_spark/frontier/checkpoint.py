@@ -17,6 +17,12 @@ mid-round leaves the previous snapshot intact and ``resume`` replays
 from the last committed round — the kill-and-resume test (north_rule)
 relies on exactly this. On a real cluster the same API maps 1:1 onto
 Iceberg table commits (each round = one snapshot).
+
+Table IO is delegated to a backend (catalog.backend_for): real Iceberg
+tables when the runtime jar + catalog are configured, this parquet
+emulation otherwise — same CrawlState API either way. The manifest stays
+in both modes (uniform resume bookkeeping; under Iceberg it shadows the
+snapshot log).
 """
 
 from __future__ import annotations
@@ -27,12 +33,15 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fraudcrawler_spark.catalog import backend_for
+
 
 class CrawlState:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, backend=None):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self.backend = backend or backend_for(spark, root)
 
     # -- manifest ------------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -69,37 +78,18 @@ class CrawlState:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path())
 
-    # -- per-round tables ------------------------------------------------------
-    def _p(self, table: str, round_no: int) -> str:
-        return os.path.join(self.root, table, f"round={round_no:05d}")
-
+    # -- per-round tables (delegated to the catalog backend) -------------------
     def write(self, table: str, round_no: int, df: DataFrame,
               sort_cols: list[str] | None = None,
               ncoalesce: int | None = None) -> None:
-        w = df
-        if ncoalesce:
-            # small per-round tables: avoid 32-64 tiny files per write
-            w = w.coalesce(ncoalesce)
-        if sort_cols:
-            # Iceberg-style sort order within files: frontier is kept sorted
-            # by (priority, host, crawl_depth) so round selection scans are
-            # sequential and metadata-prunable.
-            w = w.sortWithinPartitions(*sort_cols)
-        w.write.mode("overwrite").parquet(self._p(table, round_no))
+        self.backend.write(table, round_no, df, sort_cols=sort_cols,
+                           ncoalesce=ncoalesce)
 
     def read(self, table: str, round_no: int) -> DataFrame:
-        return self.spark.read.parquet(self._p(table, round_no))
+        return self.backend.read(table, round_no)
 
     def exists(self, table: str, round_no: int) -> bool:
-        p = self._p(table, round_no)
-        return os.path.exists(os.path.join(p, "_SUCCESS"))
+        return self.backend.exists(table, round_no)
 
     def read_all(self, table: str, upto_round: int) -> DataFrame | None:
-        paths = [
-            self._p(table, r)
-            for r in range(upto_round + 1)
-            if self.exists(table, r)
-        ]
-        if not paths:
-            return None
-        return self.spark.read.parquet(*paths)
+        return self.backend.read_all(table, upto_round)

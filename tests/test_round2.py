@@ -102,6 +102,49 @@ def test_simhash_banded_equals_all_pairs(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_catalog_backend_selection_and_roundtrip(spark, tmp_path_factory):
+    """Backend auto-selection: Iceberg when the runtime jar + catalog are
+    configured, parquet emulation otherwise. Either backend must round-trip
+    the same CrawlState write/read/exists/read_all contract."""
+    from fraudcrawler_spark import catalog as cat
+    from fraudcrawler_spark.frontier.checkpoint import CrawlState
+
+    root = str(tmp_path_factory.mktemp("cat_state"))
+    state = CrawlState(spark, root)
+    if cat.iceberg_jar_present(spark):
+        # a jar-equipped environment with the catalog configured goes Iceberg
+        if spark.conf.get(f"spark.sql.catalog.{cat.DEFAULT_CATALOG}", None):
+            assert state.backend.name == "iceberg"
+    else:
+        assert state.backend.name == "parquet"
+
+    df0 = spark.range(5).select(F.col("id").alias("url"))
+    df1 = spark.range(5, 8).select(F.col("id").alias("url"))
+    state.write("t", 0, df0, ncoalesce=1)
+    state.write("t", 1, df1, ncoalesce=1)
+    assert state.exists("t", 0) and state.exists("t", 1)
+    assert not state.exists("t", 2)
+    assert state.read("t", 1).count() == 3
+    assert state.read_all("t", 1).count() == 8
+    assert state.read_all("missing", 1) is None
+    # idempotent rerun-after-crash: overwriting a round replaces it
+    state.write("t", 1, df1.limit(1), ncoalesce=1)
+    assert state.read_all("t", 1).count() == 6
+
+
+def test_iceberg_session_conf_shape():
+    """The cluster-side enablement config is exactly the documented
+    spark.sql.catalog.* + extensions keys (no live session needed)."""
+    from fraudcrawler_spark.catalog import DEFAULT_CATALOG, iceberg_session_conf
+
+    conf = iceberg_session_conf("/wh", jar="/opt/iceberg.jar")
+    assert conf[f"spark.sql.catalog.{DEFAULT_CATALOG}"].endswith("SparkCatalog")
+    assert conf[f"spark.sql.catalog.{DEFAULT_CATALOG}.type"] == "hadoop"
+    assert conf[f"spark.sql.catalog.{DEFAULT_CATALOG}.warehouse"] == "/wh"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+    assert conf["spark.jars"] == "/opt/iceberg.jar"
+
+
 def test_jaccard_df_cap_bounds_hot_shingle(spark):
     """One shingle shared by D docs yields D·(D-1)/2 candidate pairs — the
     max_df cap drops it from candidate generation; pairs sharing only the
