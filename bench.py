@@ -50,9 +50,13 @@ HEADLINE = [
     "dedup_first_wins",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "simhash_pairs_banded",
     "ann_topk",
     "text_quality",
     "frontier_order",
+    # rows-only composites (fixed in r2: map flattened for the driver canon)
+    "crawl_pipeline",
+    "crawl_frontier_round",
 ]
 
 
@@ -67,17 +71,19 @@ def _bench_corpus() -> str:
 
 
 def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
-    from fraudcrawler_spark.registry import REGISTRY
+    from fraudcrawler_spark.registry import queries
     from fraudcrawler_spark.session import get_spark
 
     spark = get_spark("fc_bench", cores=cpus,
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs = queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn, _ = REGISTRY[name]
-        df = fn(spark, sf_dir)
+        fn = qs[name]
         t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
+        # rows-only composites do their own IO inside fn; the noop write
+        # forces full execution for everything either way
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
     return timings
 

@@ -554,6 +554,242 @@ SQL_ANN_LSH = (
 ).format(maxv=_LSH_MAX_VEC, np=_N_PLANES)
 
 
+_IVF_NC = 8        # coarse centroids: vec_id < 8 (deterministic quantizer)
+_IVF_DB_MIN, _IVF_DB_MAX = 8, 300
+_IVF_Q_MIN, _IVF_Q_MAX = 300, 305
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (inverted-file coarse quantizer, cf. FAISS IVF-Flat):
+    db vectors are assigned to their argmax-cosine cell among 8
+    deterministic centroid vectors; a query probes only its nprobe=2
+    nearest cells, and exact cosine runs on those candidates alone.
+
+    100-TB shape: assignment = broadcast(centroids) join + per-vector
+    argmax window (one shuffle on vec_id); search cost bounded by the
+    probed cells' sizes, never the corpus. Brute-force twin: q_ann_topk;
+    bucketed alternative: q_ann_lsh. All ordering on ROUNDED cosine with
+    id tie-breaks ⇒ deterministic across engines."""
+    ex = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _IVF_Q_MAX)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
+    )
+
+    cent = ex.where(F.col("vec_id") < _IVF_NC).select(
+        F.col("vec_id").alias("c"), "pos", F.col("val").alias("cv"))
+    db = ex.where(
+        (F.col("vec_id") >= _IVF_DB_MIN) & (F.col("vec_id") < _IVF_DB_MAX)
+    ).select(F.col("vec_id").alias("d"), "pos", F.col("val").alias("dv"))
+    qs = ex.where(F.col("vec_id") >= _IVF_Q_MIN).select(
+        F.col("vec_id").alias("q"), "pos", F.col("val").alias("qv"))
+
+    def _cos(dots, a, b):
+        return (
+            dots.join(norms.select(F.col("vec_id").alias(a), F.col("norm").alias("_na")), a)
+            .join(norms.select(F.col("vec_id").alias(b), F.col("norm").alias("_nb")), b)
+            .withColumn("cos", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 4))
+            .drop("_na", "_nb", "dot")
+        )
+
+    dc = _cos(
+        db.join(F.broadcast(cent), "pos")
+        .groupBy("d", "c").agg(F.sum(F.col("dv") * F.col("cv")).alias("dot")),
+        "d", "c",
+    )
+    wd = Window.partitionBy("d").orderBy(F.desc("cos"), F.asc("c"))
+    cells = (
+        dc.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") == 1).select("d", "c")
+    )
+
+    qc = _cos(
+        qs.join(F.broadcast(cent), "pos")
+        .groupBy("q", "c").agg(F.sum(F.col("qv") * F.col("cv")).alias("dot")),
+        "q", "c",
+    )
+    wq = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("c"))
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= _IVF_NPROBE).select("q", "c")
+    )
+
+    cand = probes.join(cells, "c").select("q", "d")
+    qd = _cos(
+        cand.join(qs, "q").join(db, ["d", "pos"])
+        .groupBy("q", "d").agg(F.sum(F.col("qv") * F.col("dv")).alias("dot")),
+        "q", "d",
+    )
+    wr = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("d"))
+    return (
+        qd.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select(F.col("q").alias("query_id"), F.col("d").alias("neighbor_id"),
+                "rank", "cos")
+    )
+
+
+SQL_ANN_IVF = f"""
+    WITH ex AS (
+      SELECT vec_id::BIGINT AS vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      WHERE vec_id < {_IVF_Q_MAX}
+    ),
+    norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM ex GROUP BY vec_id),
+    dc AS (
+      SELECT d.vec_id AS d, c.vec_id AS c,
+             ROUND(SUM(d.val * c.val) / (nd.norm * nc.norm), 4) AS cos
+      FROM ex d JOIN ex c USING (pos)
+      JOIN norms nd ON nd.vec_id = d.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE d.vec_id >= {_IVF_DB_MIN} AND d.vec_id < {_IVF_DB_MAX}
+        AND c.vec_id < {_IVF_NC}
+      GROUP BY d.vec_id, c.vec_id, nd.norm, nc.norm
+    ),
+    cells AS (
+      SELECT d, c FROM (
+        SELECT d, c, ROW_NUMBER() OVER (PARTITION BY d ORDER BY cos DESC, c ASC) AS rn
+        FROM dc
+      ) WHERE rn = 1
+    ),
+    qc AS (
+      SELECT q.vec_id AS q, c.vec_id AS c,
+             ROUND(SUM(q.val * c.val) / (nq.norm * nc.norm), 4) AS cos
+      FROM ex q JOIN ex c USING (pos)
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id >= {_IVF_Q_MIN} AND c.vec_id < {_IVF_NC}
+      GROUP BY q.vec_id, c.vec_id, nq.norm, nc.norm
+    ),
+    probes AS (
+      SELECT q, c FROM (
+        SELECT q, c, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, c ASC) AS rn
+        FROM qc
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS (SELECT q, d FROM probes JOIN cells USING (c)),
+    qd AS (
+      SELECT cand.q AS q, cand.d AS d,
+             ROUND(SUM(x.val * y.val) / (nq.norm * nd2.norm), 4) AS cos
+      FROM cand
+      JOIN ex x ON x.vec_id = cand.q
+      JOIN ex y ON y.vec_id = cand.d AND y.pos = x.pos
+      JOIN norms nq ON nq.vec_id = cand.q
+      JOIN norms nd2 ON nd2.vec_id = cand.d
+      GROUP BY cand.q, cand.d, nq.norm, nd2.norm
+    )
+    SELECT q AS query_id, d AS neighbor_id, rank, cos
+    FROM (
+      SELECT q, d, cos,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, d ASC)::BIGINT AS rank
+      FROM qd
+    ) WHERE rank <= 5
+"""
+
+
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end training-corpus prep composite: exact dedup (first-doc-
+    wins on the normalized-text md5) → quality gate (≥30 tokens AND
+    alpha_ratio ≥ 0.81) → language filter (marker-argmax, keep de/en with
+    at least one marker hit — zero-marker docs are unidentifiable, not
+    'de') → per-doc record. Each stage reuses the individually-oracled
+    operator semantics (q_dedup_exact / q_text_quality / q_text_langid);
+    one shuffle per stage boundary, everything whole-stage-codegen."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens_expr()
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+            / F.greatest(F.length("text"), F.lit(1)), 4,
+        ).alias("alpha_ratio"),
+        toks.alias("toks"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where((F.col("n_tokens") >= 30) & (F.col("alpha_ratio") >= 0.81))
+    )
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        # expression is built eagerly at F.filter call time, so the loop
+        # variable binds correctly (same pattern as q_text_langid)
+        scores[lang] = F.size(
+            F.filter(F.col("toks"), lambda x: F.array_contains(arr, F.lower(x)))
+        )
+    kept = kept.select(
+        "doc_id", "fingerprint", "n_tokens", "alpha_ratio",
+        *[scores[lg].alias(f"s_{lg}") for lg in ("de", "en", "fr", "it")],
+    )
+    best = (
+        F.when((F.col("s_de") >= F.col("s_en")) & (F.col("s_de") >= F.col("s_fr"))
+               & (F.col("s_de") >= F.col("s_it")), F.lit("de"))
+        .when((F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_it")),
+              F.lit("en"))
+        .when(F.col("s_fr") >= F.col("s_it"), F.lit("fr"))
+        .otherwise(F.lit("it"))
+    )
+    s_max = F.greatest("s_de", "s_en", "s_fr", "s_it")
+    return (
+        kept.withColumn("lang_guess", best)
+        .where(F.col("lang_guess").isin("de", "en") & (s_max > 0))
+        .select("doc_id", "fingerprint", "n_tokens", "alpha_ratio", "lang_guess")
+    )
+
+
+SQL_CORPUS_PREP = f"""
+    WITH base AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+             len(toks)::BIGINT AS n_tokens,
+             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+                   GREATEST(length(text), 1), 4) AS alpha_ratio,
+             toks
+      FROM (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> '') AS toks
+        FROM documents
+      )
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ),
+    gated AS (SELECT * FROM dedup WHERE n_tokens >= 30 AND alpha_ratio >= 0.81),
+    scored AS (
+      SELECT doc_id, fingerprint, n_tokens, alpha_ratio,
+             {_lang_score_sql("de")} AS s_de, {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("fr")} AS s_fr, {_lang_score_sql("it")} AS s_it
+      FROM gated
+    )
+    SELECT doc_id, fingerprint, n_tokens, alpha_ratio, lang_guess
+    FROM (
+      SELECT *,
+             CASE WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_it THEN 'de'
+                  WHEN s_en >= s_fr AND s_en >= s_it THEN 'en'
+                  WHEN s_fr >= s_it THEN 'fr'
+                  ELSE 'it' END AS lang_guess
+      FROM scored
+    ) WHERE lang_guess IN ('de', 'en')
+      AND GREATEST(s_de, s_en, s_fr, s_it) > 0
+"""
+
+
 def q_events_window_agg(spark, sf_dir):
     """Tumbling-window aggregation (streaming metrics analog, batch twin):
     hourly per-event-type counts + exact decimal sums."""

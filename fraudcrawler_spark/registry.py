@@ -49,6 +49,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_langid": (m.q_text_langid, m.SQL_TEXT_LANGID),
     "multimodal_meta": (m.q_multimodal_meta, m.SQL_MULTIMODAL_META),
     "ann_lsh": (m.q_ann_lsh, m.SQL_ANN_LSH),
+    "ann_ivf": (m.q_ann_ivf, m.SQL_ANN_IVF),
+    "corpus_prep": (m.q_corpus_prep, m.SQL_CORPUS_PREP),
     "events_window_agg": (m.q_events_window_agg, m.SQL_EVENTS_WINDOW),
     "dim_code_lookup": (c.q_dim_code_lookup, c.SQL_DIM_CODE_LOOKUP),
     "host_restrict": (c.q_host_restrict, c.SQL_HOST_RESTRICT),

@@ -112,6 +112,18 @@ def test_simhash_banded_no_cross_join(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
+def test_ann_ivf_probe_bounded(spark, sf_dir):
+    from fraudcrawler_spark.conformance_ml import q_ann_ivf
+
+    p = _plan(spark, q_ann_ivf(spark, sf_dir))
+    # IVF search is probe-bounded: centroid joins ride broadcasts, cell
+    # assignment/candidate joins are hash equi-joins — never an all-pairs
+    # cartesian over (query × db)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
 def test_pricing_partial_agg_and_pruning(spark, sf_dir):
     from fraudcrawler_spark.conformance import q_pricing_summary
 
