@@ -81,5 +81,6 @@ class CrawlConfig:
     host_budget: int = DEFAULT_HOST_BUDGET
     seen_partitions: int = SEEN_PARTITIONS
     seen_capacity_per_part: int = 1 << 16
+    seen_filter_kind: str = "bloom"  # or "cuckoo" (frontier/cuckoo.py)
     salt_shards: int = HOST_SALT_SHARDS
     prompts: tuple[Prompt, ...] = field(default_factory=tuple)

@@ -100,8 +100,27 @@ def segments_to_pdf(segments: dict[int, BloomSegment],
     )
 
 
-def segments_from_pdf(pdf: pd.DataFrame) -> dict[int, BloomSegment]:
-    return {
-        int(r.part): BloomSegment.from_bytes(r.bitmap, int(r.capacity), int(r.n_hashes))
-        for r in pdf.itertuples()
-    }
+def new_segment(kind: str, capacity: int):
+    """Segment factory: 'bloom' (default) or 'cuckoo' (supports delete)."""
+    if kind == "cuckoo":
+        from fraudcrawler_spark.frontier.cuckoo import CuckooSegment
+
+        return CuckooSegment(capacity)
+    return BloomSegment(capacity)
+
+
+def segments_from_pdf(pdf: pd.DataFrame):
+    """Checkpoint rows → {part → segment}. Rows self-describe their kind:
+    n_hashes >= 0 is a Bloom row, the -1 sentinel a cuckoo row — mixed
+    checkpoints stay readable."""
+    from fraudcrawler_spark.frontier.cuckoo import CUCKOO_KIND_SENTINEL, CuckooSegment
+
+    out = {}
+    for r in pdf.itertuples():
+        if int(r.n_hashes) == CUCKOO_KIND_SENTINEL:
+            out[int(r.part)] = CuckooSegment.from_bytes(r.bitmap, int(r.capacity))
+        else:
+            out[int(r.part)] = BloomSegment.from_bytes(
+                r.bitmap, int(r.capacity), int(r.n_hashes)
+            )
+    return out

@@ -96,6 +96,7 @@ def init_crawl(
         "corpus_dir": corpus_dir,
         "seen_partitions": config.seen_partitions,
         "seen_capacity_per_part": config.seen_capacity_per_part,
+        "seen_filter_kind": config.seen_filter_kind,
     })
     return state
 
@@ -110,7 +111,9 @@ def _load_seen(spark: SparkSession, state: CrawlState, upto: int,
     capacity = int(
         manifest.get("seen_capacity_per_part", config.seen_capacity_per_part)
     )
-    store = SeenStore(spark, partitions=partitions, capacity_per_part=capacity)
+    kind = manifest.get("seen_filter_kind", config.seen_filter_kind)
+    store = SeenStore(spark, partitions=partitions, capacity_per_part=capacity,
+                      filter_kind=kind)
     if upto >= 0 and state.exists("bloom", upto):
         segs = state.read("bloom", upto)
         seen = state.read_all("seen", upto)

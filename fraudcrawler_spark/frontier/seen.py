@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from fraudcrawler_spark.frontier.bloom import BloomSegment, segments_from_pdf
+from fraudcrawler_spark.frontier.bloom import new_segment, segments_from_pdf
 
 SEG_SCHEMA = StructType(
     [
@@ -65,10 +65,16 @@ class SeenStore:
         spark: SparkSession,
         partitions: int = 32,
         capacity_per_part: int = 1 << 16,
+        filter_kind: str = "bloom",
     ):
+        """filter_kind: 'bloom' (default) or 'cuckoo' — same probe/claim
+        semantics (negatives definite, positives exact-confirmed); cuckoo
+        additionally supports deletion (frontier/cuckoo.py). Persisted
+        segment rows self-describe their kind, so a resume reads either."""
         self.spark = spark
         self.partitions = partitions
         self.capacity_per_part = capacity_per_part
+        self.filter_kind = filter_kind
         self._segments: DataFrame | None = None  # (part, capacity, n_hashes, bitmap)
         self._seen: DataFrame | None = None  # (part, url)
 
@@ -137,7 +143,7 @@ class SeenStore:
         inp = with_part(
             urls.select(F.col(url_col).alias("url"), *extra_cols), self.partitions
         )
-        cap = self.capacity_per_part
+        cap, kind = self.capacity_per_part, self.filter_kind
 
         out_fields = [StructField("kind", StringType()), StructField("url", StringType())]
         # passthroughs must be NULLABLE: segment rows carry null there even
@@ -158,7 +164,7 @@ class SeenStore:
         def _fused(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             part = int(left["part"].iloc[0]) if not left.empty else int(right["part"].iloc[0])
             if right.empty:
-                seg, n_items = BloomSegment(cap), 0
+                seg, n_items = new_segment(kind, cap), 0
             else:
                 seg = segments_from_pdf(right)[part]
                 n_items = int(right["n_items"].iloc[0]) if "n_items" in right else 0
@@ -227,12 +233,12 @@ class SeenStore:
         persistence is the checkpoint layer's job)."""
         new = with_part(new_urls.select(F.col(url_col).alias("url")).distinct(),
                         self.partitions)
-        cap = self.capacity_per_part
+        cap, kind = self.capacity_per_part, self.filter_kind
 
         def _merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             part = int(left["part"].iloc[0]) if not left.empty else int(right["part"].iloc[0])
             if right.empty:
-                seg = BloomSegment(cap)
+                seg = new_segment(kind, cap)
                 n_items = 0
             else:
                 seg = segments_from_pdf(right)[part]
