@@ -140,14 +140,13 @@ def run_round(
 
     tick = [time.time()]
     frontier = state.read("frontier", round_no)
-    n_frontier = frontier.count()
-    if n_frontier == 0:
-        return False
     _mark("t_read", tick)
 
     # --- politeness + robots ------------------------------------------------
     # ONE window pass, materialized once (localCheckpoint truncates lineage
     # so downstream actions don't replay the round DAG), then sliced.
+    # n_frontier comes from the status counts — no separate frontier-scan
+    # job (every frontier row gets exactly one sched_status).
     sched_st = schedule_status(
         frontier, tables.get("robots"), config.host_budget, config.salt_shards
     ).localCheckpoint()
@@ -155,6 +154,9 @@ def run_round(
         r["sched_status"]: r["count"]
         for r in sched_st.groupBy("sched_status").count().collect()
     }
+    n_frontier = sum(sched_counts.values())
+    if n_frontier == 0:
+        return False
     scheduled = sched_st.where(F.col("sched_status") == "scheduled").drop("sched_status")
     deferred = sched_st.where(F.col("sched_status") == "deferred").drop("sched_status")
     blocked = sched_st.where(F.col("sched_status") == "blocked").drop("sched_status")
