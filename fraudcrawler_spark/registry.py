@@ -165,6 +165,16 @@ def q_crawl_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_binary_meta(pages.select("url", "html"), "html")
 
 
+def q_crawl_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing over html:binary (UDTF-like 1→N
+    fan-out inside the Arrow batch; deterministic stub decoder) —
+    rows-only."""
+    from fraudcrawler_spark.functions.multimodal import sample_frames
+
+    pages = spark.read.parquet(f"{_crawl_corpus()}/pages.parquet")
+    return sample_frames(pages.select("url", "html"), "html")
+
+
 def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest (watermark dedup + in-stream extract)
     run with availableNow over the synthetic corpus, read back as a batch
@@ -191,5 +201,6 @@ _ROWS_ONLY: dict[str, QueryFn] = {
     "crawl_pipeline": q_crawl_pipeline,
     "crawl_frontier_round": q_crawl_frontier_round,
     "crawl_multimodal": q_crawl_multimodal,
+    "crawl_frames": q_crawl_frames,
     "streaming_ingest": q_streaming_ingest,
 }

@@ -178,6 +178,42 @@ def test_multimodal_decode_stub(spark):
     assert (out.fillna(0) == out2.fillna(0)).all().all()
 
 
+def test_multimodal_resize_stub(spark):
+    """Resize plumbing: binary in AND out through Arrow, fixed output
+    dims, null on the stubbed empty-payload path."""
+    import pandas as pd
+
+    from fraudcrawler_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1", "u2"], "html": [bytes(range(256)) * 8, b""]})
+    )
+    out = resize_images(df, "html", width=16, height=16).toPandas().set_index("url")
+    assert len(out.loc["u1", "resized"]) == 16 * 16  # exact target byte shape
+    assert out.loc["u1", "width"] == 16 and out.loc["u1", "height"] == 16
+    assert out.loc["u2", "resized"] is None  # stub path, row not dropped
+
+
+def test_multimodal_frame_sampling(spark):
+    """Frame-sample plumbing: UDTF-like 1→N fan-out INSIDE the Arrow batch
+    (the batch-shape change a real ffmpeg sampler needs), deterministic
+    stride and timestamps."""
+    import pandas as pd
+
+    from fraudcrawler_spark.functions.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["v1", "v2"],
+                      "html": [b"x" * (512 * 40), b"y" * 100]})
+    )
+    out = sample_frames(df, "html", every_n=8, fps=25.0).toPandas()
+    v1 = out[out["url"] == "v1"].sort_values("frame_idx")
+    assert list(v1["frame_idx"]) == [0, 8, 16, 24, 32]  # 40 frames, stride 8
+    assert abs(v1["ts_sec"].iloc[1] - 8 / 25.0) < 1e-9
+    assert (v1["frame_bytes"] == 512).all()
+    assert len(out[out["url"] == "v2"]) == 0  # sub-frame payload → no rows
+
+
 def test_enrich_terms_semantics(spark):
     """T1/A1/F5/U1 — union, self-exclusion, max-volume agg, volume-desc
     top-k with STABLE first-seen tie-break (reference enrich.py:292-302)."""
