@@ -162,6 +162,59 @@ SQL_NGRAM_JACCARD = f"""
 """
 
 
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS rolling-hash scheme): hash every word-3-gram, slide a
+    w=4 window over the hash sequence, keep each window's minimum, emit
+    the distinct selected hashes per doc. Guarantees any shared run ≥
+    w+2 tokens yields a shared fingerprint — the rolling-hash dedup the
+    whole-doc md5 (q_text_fingerprint) cannot give.
+
+    Scale shape: per-doc partitioned window (never global), distinct =
+    one hash shuffle on (doc_id, fp)."""
+    sh = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = sh.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks"))
+    grams = sh.where(F.size("toks") >= 3).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    grams = grams.select("doc_id", "pos", h.alias("h"))
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    )  # w=4 sliding window over the rolling hash sequence
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+SQL_FINGERPRINT_WINNOW = """
+    WITH grams AS (
+      SELECT doc_id::BIGINT AS doc_id, i AS pos,
+             (('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::UBIGINT)::BIGINT AS h
+      FROM (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 150
+      ), UNNEST(range(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 3
+    )
+    SELECT DISTINCT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs: per band the min md5(shingle#band) is
     the signature; docs bucket-join on (band, signature). Scale path: the

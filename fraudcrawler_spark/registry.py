@@ -39,6 +39,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # training-data operators
     "dedup_exact": (m.q_dedup_exact, m.SQL_DEDUP_EXACT),
     "text_fingerprint": (m.q_text_fingerprint, m.SQL_TEXT_FINGERPRINT),
+    "fingerprint_winnow": (m.q_fingerprint_winnow, m.SQL_FINGERPRINT_WINNOW),
     "dedup_ngram_jaccard": (m.q_dedup_ngram_jaccard, m.SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (m.q_dedup_minhash_lsh, m.SQL_MINHASH_LSH),
     "dedup_simhash": (m.q_dedup_simhash, m.SQL_SIMHASH),
