@@ -38,11 +38,22 @@ DEFAULT_NAMESPACE = "crawl"
 
 
 def iceberg_jar_present(spark: SparkSession) -> bool:
-    """True iff the Iceberg Spark runtime is loadable in this JVM."""
+    """True iff the Iceberg Spark runtime is loadable in this JVM.
+
+    Probes through Spark's Utils.classForName first — jars shipped via
+    --packages/--jars land in Spark's mutable URL classloader, which the
+    root-classloader ``java.lang.Class.forName`` does NOT search — and
+    falls back to plain reflection for embedded/classpath jars."""
+    name = "org.apache.iceberg.spark.SparkCatalog"
     try:
-        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
-            "org.apache.iceberg.spark.SparkCatalog"
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # type: ignore[union-attr]
+            name, False, False
         )
+        return True
+    except Exception:
+        pass
+    try:
+        spark._jvm.java.lang.Class.forName(name)  # type: ignore[union-attr]
         return True
     except Exception:
         return False
@@ -130,12 +141,23 @@ class IcebergBackend:
     def __init__(self, spark: SparkSession, root: str,
                  catalog: str = DEFAULT_CATALOG,
                  namespace: str = DEFAULT_NAMESPACE):
+        import zlib
+
         self.spark = spark
         self.catalog = catalog
-        # one namespace per crawl-state root so parallel crawls don't collide
-        self.namespace = f"{namespace}_{abs(hash(root)) % (1 << 32):08x}"
+        # one namespace per crawl-state root so parallel crawls don't
+        # collide — PROCESS-STABLE digest (crc32), never Python's salted
+        # hash(): a resume in a new driver must land in the same namespace
+        self.namespace = f"{namespace}_{zlib.crc32(root.encode('utf-8')):08x}"
         spark.sql(
             f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{self.namespace}"
+        )
+        # round markers distinguish a COMMITTED-BUT-EMPTY round from a
+        # never-written one (parquet backend: _SUCCESS plays this role)
+        self._markers = self._full("_round_markers")
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._markers} "
+            "(tbl STRING, round INT) USING iceberg"
         )
 
     def _full(self, table: str) -> str:
@@ -161,7 +183,21 @@ class IcebergBackend:
                 w = w.tableProperty("sort-order", ",".join(sort_cols))
             w.create()
         else:
-            out.writeTo(full).overwritePartitions()
+            # explicit partition delete + append, NOT overwritePartitions:
+            # dynamic overwrite with an EMPTY dataframe clears nothing, so
+            # a rerun-after-crash that now produces zero rows would leave
+            # the crashed attempt's stale rows in place
+            self.spark.sql(
+                f"DELETE FROM {full} WHERE _round = {int(round_no)}"
+            )
+            out.writeTo(full).append()
+        self.spark.sql(
+            f"DELETE FROM {self._markers} "
+            f"WHERE tbl = '{table}' AND round = {int(round_no)}"
+        )
+        self.spark.sql(
+            f"INSERT INTO {self._markers} VALUES ('{table}', {int(round_no)})"
+        )
 
     def read(self, table: str, round_no: int) -> DataFrame:
         return (
@@ -171,12 +207,11 @@ class IcebergBackend:
         )
 
     def exists(self, table: str, round_no: int) -> bool:
-        if not self._table_exists(table):
-            return False
-        # partition-pruned metadata lookup, not a data scan
+        # marker lookup (tiny table) — a committed empty round EXISTS,
+        # matching the parquet backend's _SUCCESS semantics
         return (
-            self.spark.read.table(self._full(table))
-            .where(F.col("_round") == round_no)
+            self.spark.read.table(self._markers)
+            .where((F.col("tbl") == table) & (F.col("round") == round_no))
             .limit(1)
             .count()
             > 0
@@ -185,12 +220,19 @@ class IcebergBackend:
     def read_all(self, table: str, upto_round: int) -> DataFrame | None:
         if not self._table_exists(table):
             return None
-        df = (
+        marked = (
+            self.spark.read.table(self._markers)
+            .where((F.col("tbl") == table) & (F.col("round") <= upto_round))
+            .limit(1)
+            .count()
+        )
+        if marked == 0:
+            return None  # parquet-backend parity: no committed rounds
+        return (
             self.spark.read.table(self._full(table))
             .where(F.col("_round") <= upto_round)
             .drop("_round")
         )
-        return df if not df.isEmpty() else None
 
 
 def backend_for(spark: SparkSession, root: str):

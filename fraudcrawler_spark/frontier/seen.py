@@ -129,10 +129,14 @@ class SeenStore:
 
     # -- fused probe + claim -------------------------------------------------
     def probe_and_claim(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
-        """ONE cogroup pass over (urls ⨝ segments): Bloom-negative urls
+        """ONE cogroup pass over (urls ⨝ segments): filter-negative urls
         are definitely new — claimed into the segment immediately;
-        Bloom-positives are exact-confirmed against the seen table and
-        (rare: false positives only) claimed in a tiny second pass.
+        filter-positives are exact-confirmed against the seen table.
+        Confirmed false positives are appended to the exact seen table
+        only (Bloom: re-adding them to the bitmap would set already-set
+        bits — a no-op skipped entirely); the deletion-capable cuckoo
+        backend additionally claims them into the segments in a tiny
+        second pass so every member owns its own fingerprint copy.
 
         Input may carry extra BOOLEAN/STRING passthrough columns (e.g.
         is_blocked); returns the newly-claimed rows (url + passthroughs).
@@ -214,14 +218,28 @@ class SeenStore:
             confirmed_new = maybe.join(self._seen.select("url"), "url", "left_anti")
         else:
             confirmed_new = maybe
-        new_all = definite_new.unionByName(confirmed_new)
 
-        # Bloom false positives (confirmed_new) already answer contains()
-        # True, so merging them into the bitmap would set already-set bits —
-        # a no-op. Only the exact seen table needs them: append new_all
-        # (definite new + confirmed FPs) in one pass, no second cogroup and
-        # no extra count job per round.
-        add_seen = with_part(new_all.select("url"), self.partitions)
+        if self.filter_kind == "cuckoo":
+            # Deletion-capable filters must hold one fingerprint copy PER
+            # member: a fingerprint-collision FP that is actually new
+            # shares its entry with some other member url — if it is not
+            # inserted itself, a later delete_many(other) would turn this
+            # url filter-negative (false negative → duplicate claim). The
+            # FP set is tiny, so the extra add() pass stays cheap and only
+            # this backend pays it.
+            confirmed_new = confirmed_new.localCheckpoint()
+            if confirmed_new.count() > 0:
+                self.add(confirmed_new.select("url"))  # segments + seen
+            new_all = definite_new.unionByName(confirmed_new)
+            add_seen = with_part(definite_new.select("url"), self.partitions)
+        else:
+            # Bloom false positives already answer contains() True, so
+            # merging them into the bitmap would set already-set bits — a
+            # no-op. Only the exact seen table needs them: append new_all
+            # (definite new + confirmed FPs) in one pass, no second
+            # cogroup and no extra count job per round.
+            new_all = definite_new.unionByName(confirmed_new)
+            add_seen = with_part(new_all.select("url"), self.partitions)
         self._seen = (
             add_seen if self._seen is None else self._seen.unionByName(add_seen)
         )

@@ -98,6 +98,14 @@ class ResultsRegistry:
             timestamp=ts,
         )
         path = os.path.join(self.results_dir, name)
+        # the timestamp has 1 s resolution: two same-second saves of the
+        # same (term, lang, loc) would silently overwrite run 1 while the
+        # registry kept both entries — disambiguate with a suffix instead
+        k = 1
+        taken = {r.filename for r in self._results}
+        while path in taken:
+            path = os.path.join(self.results_dir, f"{name[:-4]}_{k}.csv")
+            k += 1
         out = (
             flatten_classifications(df, prompt_names)
             if "classifications" in df.columns

@@ -78,6 +78,32 @@ def test_seen_store_cuckoo_exactness(spark):
     assert got == set(probe) - set(seen_urls)
 
 
+def test_cuckoo_fp_claim_owns_fingerprint_copy(spark):
+    """A filter-positive url that the exact confirm proves NEW must be
+    claimed into the cuckoo segments too (its own fingerprint copy):
+    otherwise deleting the colliding member would flip it filter-negative
+    → duplicate claim. (Bloom skips this — re-setting set bits is a no-op.)"""
+    import zlib
+
+    store = SeenStore(spark, partitions=2, capacity_per_part=128,
+                      filter_kind="cuckoo")
+    url = "https://s.ch/fp-victim"
+    store.add(spark.createDataFrame(pd.DataFrame({"url": [url]})))
+    # keep the segments, wipe the exact table: the url now probes as a
+    # guaranteed "false positive" (filter-positive, exactly-unseen)
+    store.load(store.segments.localCheckpoint(), None)
+    claimed = store.probe_and_claim(
+        spark.createDataFrame(pd.DataFrame({"url": [url]}))
+    )
+    assert claimed.count() == 1  # exact confirm says new → claimed
+    seg = segments_from_pdf(store.segments.toPandas())[
+        zlib.crc32(url.encode()) % 2
+    ]
+    # two copies now (seed + claim): deleting one keeps membership
+    assert seg.delete_many([url]).all()
+    assert seg.contains_many([url]).all()
+
+
 def test_crawl_cuckoo_matches_bloom(spark, corpus_dir, tmp_path_factory):
     """Same crawl, both seen backends → identical results + seen sets
     (backend choice is an implementation detail of the exact seen-set

@@ -66,6 +66,22 @@ def test_results_registry_template_and_index(spark, corpus_dir, tmp_path_factory
     )
 
 
+def test_results_registry_same_second_collision(spark, tmp_path_factory):
+    """Two same-second saves of the same (term, lang, loc) must not
+    clobber each other: the second gets a disambiguating suffix and index
+    addressing keeps serving the right run."""
+    from fraudcrawler_spark.operators.sink import ResultsRegistry
+
+    reg = ResultsRegistry(spark, str(tmp_path_factory.mktemp("reg_coll")))
+    df1 = spark.range(4).select(F.col("id").alias("v"))
+    df2 = spark.range(7).select(F.col("id").alias("v"))
+    p1 = reg.save(df1, "term", timestamp="20260816120000")
+    p2 = reg.save(df2, "term", timestamp="20260816120000")
+    assert p1 != p2 and p2.endswith("_1.csv")
+    assert reg.load_results(-2).count() == 4
+    assert reg.load_results(-1).count() == 7
+
+
 def test_fetch_status_hit_miss_skipped(spark, corpus_dir):
     """§2.9 retry surface: 'miss' = retry-exhaustion terminal state
     (zyte.py:75-97), distinguishable from a fetched page with no product
