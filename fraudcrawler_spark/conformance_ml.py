@@ -397,6 +397,36 @@ SQL_TEXT_TOKENS = """
     FROM documents
 """
 
+def q_text_tokens_bpe(spark, sf_dir):
+    """BPE-ish token counting: GPT-2-style pre-tokenizer classes reduced
+    to the engine-portable core — letter runs, digit runs, punctuation
+    runs (the `[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]+` subset of the GPT-2
+    split regex; contraction alternates dropped for cross-engine regex
+    parity). Whitespace never tokenizes. Complements q_text_tokens'
+    whitespace count with the subword-budget estimate a training pipeline
+    actually bills by."""
+    d = _t(spark, sf_dir, "documents")
+    # F.lit pattern, NOT F.expr — a SQL string literal would eat the \s
+    pat = r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]+"
+    toks = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        # chars-per-token: the compression-ratio quality signal
+        F.round(
+            F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+SQL_TEXT_TOKENS_BPE = """
+    SELECT doc_id::BIGINT AS doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]+', 0))::BIGINT AS n_bpe_tokens,
+           ROUND(length(text) /
+                 GREATEST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]+', 0)), 1), 4) AS chars_per_token
+    FROM documents
+"""
+
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
 _STOP_SQL = "('" + "','".join(_STOPWORDS) + "')"
 

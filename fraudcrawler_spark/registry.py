@@ -46,6 +46,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_near_dup": (m.q_embedding_near_dup, m.SQL_EMB_NEAR_DUP),
     "ann_topk": (m.q_ann_topk, m.SQL_ANN_TOPK),
     "text_tokens": (m.q_text_tokens, m.SQL_TEXT_TOKENS),
+    "text_tokens_bpe": (m.q_text_tokens_bpe, m.SQL_TEXT_TOKENS_BPE),
     "text_quality": (m.q_text_quality, m.SQL_TEXT_QUALITY),
     "text_langid": (m.q_text_langid, m.SQL_TEXT_LANGID),
     "multimodal_meta": (m.q_multimodal_meta, m.SQL_MULTIMODAL_META),
