@@ -257,8 +257,11 @@ def run_round(
         )
         .withColumn("priority", F.col("crawl_depth"))
     )
+    # candidates are unique by construction (groupBy url above) — skip the
+    # probe's defensive distinct shuffle
     fresh = candidates.join(
-        store.filter_new(candidates).select("url"), "url", "left_semi"
+        store.filter_new(candidates, assume_unique=True).select("url"),
+        "url", "left_semi",
     )
     # also drop candidates already waiting in the deferred frontier
     fresh = fresh.join(deferred.select("url"), "url", "left_anti").localCheckpoint()

@@ -92,10 +92,18 @@ class SeenStore:
         return self._seen
 
     # -- probe -------------------------------------------------------------
-    def probe(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
-        """→ (url, maybe_seen). Bloom-negative ⇒ definitely new."""
-        cand = with_part(urls.select(F.col(url_col).alias("url")).distinct(),
-                         self.partitions)
+    def probe(self, urls: DataFrame, url_col: str = "url",
+              assume_unique: bool = False) -> DataFrame:
+        """→ (url, maybe_seen). Bloom-negative ⇒ definitely new.
+
+        assume_unique=True skips the defensive distinct() — callers whose
+        input is unique by construction (frontier rows, groupBy-url
+        candidates) save a full shuffle of the probe set per call, which
+        at 10^10-url rounds is the single biggest avoidable exchange."""
+        sel = urls.select(F.col(url_col).alias("url"))
+        if not assume_unique:
+            sel = sel.distinct()
+        cand = with_part(sel, self.partitions)
         if self._segments is None:
             return cand.select("url").withColumn("maybe_seen", F.lit(False))
 
@@ -115,9 +123,10 @@ class SeenStore:
             .applyInPandas(_probe, PROBE_SCHEMA)
         )
 
-    def filter_new(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
+    def filter_new(self, urls: DataFrame, url_col: str = "url",
+                   assume_unique: bool = False) -> DataFrame:
         """Exact set of urls NOT in the seen store (Bloom + confirm join)."""
-        probed = self.probe(urls, url_col)
+        probed = self.probe(urls, url_col, assume_unique=assume_unique)
         negatives = probed.where(~F.col("maybe_seen")).select("url")
         positives = probed.where(F.col("maybe_seen")).select("url")
         if self._seen is None:

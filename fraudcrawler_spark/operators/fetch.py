@@ -42,21 +42,43 @@ def fetch_extract(
     pages: DataFrame,
     threshold: float = PROBABILITY_THRESHOLD,
     keep_links: bool = True,
+    broadcast_urls: bool = True,
 ) -> DataFrame:
-    """items(url, filtered, ...) → + extracted product fields + prob flag."""
+    """items(url, filtered, ...) → + extracted product fields + prob flag.
+
+    Shuffle discipline: ``html:binary`` (the KB-scale payload) never
+    crosses an exchange. The scheduled url-set — small relative to the
+    pages table — is broadcast into a LEFT SEMI prune of pages, the
+    extract kernel runs on the pruned pages IN PLACE (same partitions as
+    the scan), and only the extracted columns join back to the items.
+    With ``broadcast_urls=False`` (rounds too big to broadcast) the semi
+    join shuffles url keys only; at warehouse scale, bucket both tables
+    by crc32(url) for a storage-partitioned join instead.
+    """
     active = items.where(~F.col("filtered"))
     # flagged rows never reach the fetcher (reference orchestrator.py:207)
     flagged = items.where(F.col("filtered")).withColumn(
         "fetch_status", F.lit("skipped")
     )
 
-    fetched = active.join(
-        pages.select("url", "html", "lang", "warc_ts").withColumn(
-            "_page_hit", F.lit(True)
-        ),
-        "url",
-        "left",
-    ).withColumn(
+    # unflagged rows are unique by url (dedup stage flags later dups), but
+    # distinct() defensively — the url set is small either way
+    keys = active.select("url").distinct()
+    if broadcast_urls:
+        keys = F.broadcast(keys)
+    hit_pages = pages.select("url", "html", "lang", "warc_ts").join(
+        keys, "url", "left_semi"
+    )
+    extracted_pages = (
+        hit_pages.withColumn("_x", extract_listing(F.col("html")))
+        .drop("html")
+        .select(
+            "url", "lang", "warc_ts",
+            *[F.col(f"_x.{c}").alias(c) for c in EXTRACT_COLS],
+        )
+        .withColumn("_page_hit", F.lit(True))
+    )
+    extracted = active.join(extracted_pages, "url", "left").withColumn(
         # retry-exhaustion failure surface (reference zyte.py:75-97,
         # settings.py:4-5: N retries then the row is forwarded unenriched,
         # orchestrator.py:232-235) — 'miss' is that terminal state, and is
@@ -66,12 +88,6 @@ def fetch_extract(
             F.lit("miss")
         ),
     ).drop("_page_hit")
-    extracted = (
-        fetched.withColumn("_x", extract_listing(F.col("html")))
-        .drop("html")
-        .select("*", *[F.col(f"_x.{c}").alias(c) for c in EXTRACT_COLS])
-        .drop("_x")
-    )
     prob_flagged = F.col("probability").isNotNull() & (
         F.col("probability") <= F.lit(threshold)
     )

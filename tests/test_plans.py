@@ -49,6 +49,12 @@ def test_fetch_plan_reads_html_once_left_outer(spark, corpus_tables):
     # the extract kernel is Arrow-vectorized, not row-at-a-time Python
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+    # the KB-scale html payload never crosses an exchange: the url-set
+    # broadcast prunes pages in place and the kernel runs pre-shuffle —
+    # only extracted columns are exchanged (r2 bandwidth discipline)
+    for block in re.split(r"\n\(\d+\) ", p):
+        if block.split("\n")[0].strip().endswith("Exchange"):
+            assert "html" not in block, block.split("\n")[0]
 
 
 def test_schedule_plan_single_shuffle(spark, corpus_tables):
