@@ -37,6 +37,72 @@ def cell_budget(host_budget: int, salt_shards: int, crawl_delay_ms: int | None,
     return max(1, min(per_cell, by_delay))
 
 
+def robots_from_txt(raw: DataFrame, user_agent: str = "*") -> DataFrame:
+    """(host, robots_txt:string) → the structured robots dim
+    (host, disallow_prefixes:array<string>, crawl_delay_ms:long).
+
+    Simplified RFC 9309 grouping, all JVM expressions (no Python):
+    lines are exploded per host, a running count of ``User-agent:``
+    lines assigns each directive to its group, groups whose agent set
+    contains ``user_agent`` (default ``*``) contribute their
+    ``Disallow:`` prefixes and ``Crawl-delay:`` (seconds → ms, min over
+    groups). Comments (#), blank lines, unknown directives, and case
+    are handled; empty ``Disallow:`` (allow-all) lines are dropped.
+
+    Scale shape: one explode + two hash aggregations keyed by host —
+    robots files are KBs, hosts are the natural partition key.
+    """
+    lines = raw.select(
+        "host",
+        F.posexplode(F.split(F.col("robots_txt"), "\r?\n")).alias("pos", "line"),
+    ).select(
+        "host", "pos",
+        # strip comments + whitespace
+        F.trim(F.regexp_replace(F.col("line"), "#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+    key = F.lower(F.trim(F.regexp_extract(F.col("line"), "^([^:]+):", 1)))
+    val = F.trim(F.regexp_extract(F.col("line"), "^[^:]+:(.*)$", 1))
+    lines = lines.select("host", "pos", key.alias("key"), val.alias("val"))
+    # group id: running count of user-agent lines (a new group starts at a
+    # user-agent line that does NOT directly follow another user-agent line)
+    w = Window.partitionBy("host").orderBy("pos")
+    prev_key = F.lag("key").over(w)
+    new_group = (
+        (F.col("key") == "user-agent")
+        & (F.coalesce(prev_key, F.lit("")) != "user-agent")
+    ).cast("int")
+    grouped = lines.withColumn(
+        "grp", F.sum(new_group).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_group = (
+        grouped.groupBy("host", "grp")
+        .agg(
+            F.collect_set(
+                F.when(F.col("key") == "user-agent", F.lower(F.col("val")))
+            ).alias("agents"),
+            F.collect_list(
+                F.when(
+                    (F.col("key") == "disallow") & (F.col("val") != ""),
+                    F.col("val"),
+                )
+            ).alias("disallows"),
+            F.min(
+                F.when(
+                    F.col("key") == "crawl-delay",
+                    (F.col("val").cast("double") * 1000).cast("long"),
+                )
+            ).alias("delay_ms"),
+        )
+        .where(F.array_contains("agents", user_agent.lower()))
+    )
+    return per_group.groupBy("host").agg(
+        F.array_distinct(F.flatten(F.collect_list("disallows"))).alias(
+            "disallow_prefixes"
+        ),
+        F.min("delay_ms").alias("crawl_delay_ms"),
+    )
+
+
 def robots_flag(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Flag urls whose path starts with a disallowed prefix for their host.
 

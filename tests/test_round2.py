@@ -105,6 +105,58 @@ def test_fetch_status_hit_miss_skipped(spark, corpus_dir):
     assert status[present[1]] == "skipped"
 
 
+def test_robots_txt_parser(spark):
+    """robots_from_txt: raw robots.txt → structured dim. Groups, comments,
+    blank lines, stacked user-agents, empty Disallow, Crawl-delay s→ms,
+    and non-matching groups all handled — then drives schedule_status."""
+    import pandas as pd
+
+    from fraudcrawler_spark.frontier.politeness import (
+        robots_from_txt,
+        schedule_status,
+    )
+
+    txt_a = (
+        "# comment line\n"
+        "User-agent: googlebot\n"
+        "Disallow: /only-for-google/\n"
+        "\n"
+        "User-agent: somebot\n"
+        "User-agent: *\n"          # stacked agents: group applies to *
+        "Disallow: /private/\n"
+        "Disallow:\n"              # empty Disallow = allow-all, ignored
+        "Disallow: /tmp/ # trailing comment\n"
+        "Crawl-delay: 2.5\n"
+    )
+    txt_b = "User-agent: otherbot\nDisallow: /\n"  # no * group at all
+    raw = spark.createDataFrame(
+        pd.DataFrame({"host": ["a.ch", "b.ch"], "robots_txt": [txt_a, txt_b]})
+    )
+    dim = {r["host"]: r for r in robots_from_txt(raw).collect()}
+    assert sorted(dim["a.ch"]["disallow_prefixes"]) == ["/private/", "/tmp/"]
+    assert dim["a.ch"]["crawl_delay_ms"] == 2500
+    assert "b.ch" not in dim  # no matching group → host unconstrained
+
+    frontier = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["https://a.ch/private/x", "https://a.ch/ok",
+                        "https://b.ch/private/x"],
+                "host": ["a.ch", "a.ch", "b.ch"],
+                "priority": [0, 0, 0],
+                "crawl_depth": [0, 0, 0],
+            }
+        )
+    )
+    st = {
+        r["url"]: r["sched_status"]
+        for r in schedule_status(frontier, robots_from_txt(raw), 8, 2).collect()
+    }
+    assert st["https://a.ch/private/x"] == "blocked"
+    assert st["https://a.ch/ok"] == "scheduled"
+    assert st["https://b.ch/private/x"] == "scheduled"  # no * group for b.ch
+
+
 def test_simhash_banded_equals_all_pairs(spark, sf_dir):
     """Pigeonhole correctness: banded candidate generation loses no pair
     within the hamming radius — identical result set to the all-pairs scan."""
