@@ -316,6 +316,14 @@ def host_bandwidth_scaling(n: int = 2, n4: int = 8) -> float:
     return round(min(1.0, thr_4n / ((n4 / n) * thr_n)), 3)
 
 
+def _safe_bandwidth(n: int, n4: int) -> float | None:
+    """bandwidth probe must never take down the scaling record."""
+    try:
+        return host_bandwidth_scaling(n, n4)
+    except Exception:
+        return None
+
+
 def run_scaling(corpus: str) -> dict:
     """N vs 4N cores on the single-DAG round core (local[2] vs local[8]:
     both JVM-thread + python-worker pairs fit in the 32-cpu host without
@@ -331,7 +339,7 @@ def run_scaling(corpus: str) -> dict:
     # probe in the record so a contaminated window stays visible.
     n_cores, n4_cores = 2, 8
     cycles = int(os.environ.get("FC_SCALING_CYCLES", "2"))
-    scaling_budget = float(os.environ.get("FC_SCALING_BUDGET_SEC", "780"))
+    scaling_budget = float(os.environ.get("FC_SCALING_BUDGET_SEC", "600"))
     samples: dict[int, list[dict]] = {n_cores: [], n4_cores: []}
     caps: list[float] = [host_parallel_capacity(n4_cores)]
     t_scaling = time.time()
@@ -377,7 +385,7 @@ def run_scaling(corpus: str) -> dict:
             for sn, s4 in pairs
         ],
         "host_capacity_probe": caps,
-        "host_bandwidth_scaling_2to8": host_bandwidth_scaling(n_cores, n4_cores),
+        "host_bandwidth_scaling_2to8": _safe_bandwidth(n_cores, n4_cores),
         "scaling_efficiency": round(t4n / (4 * tn), 3),
         "full_round_local32_urls_per_sec": full["urls_per_sec"],
         "full_round_local32_elapsed_sec": full["elapsed_sec"],
