@@ -220,17 +220,21 @@ class IcebergBackend:
     def read_all(self, table: str, upto_round: int) -> DataFrame | None:
         if not self._table_exists(table):
             return None
-        marked = (
-            self.spark.read.table(self._markers)
+        # read ONLY marker-committed rounds (parquet-backend parity with
+        # _SUCCESS): a round whose data append landed but whose marker
+        # insert crashed must stay invisible, exactly like a parquet dir
+        # without _SUCCESS. The marker list is a few ints — driver-side.
+        marked = [
+            r["round"]
+            for r in self.spark.read.table(self._markers)
             .where((F.col("tbl") == table) & (F.col("round") <= upto_round))
-            .limit(1)
-            .count()
-        )
-        if marked == 0:
-            return None  # parquet-backend parity: no committed rounds
+            .collect()
+        ]
+        if not marked:
+            return None
         return (
             self.spark.read.table(self._full(table))
-            .where(F.col("_round") <= upto_round)
+            .where(F.col("_round").isin(marked))
             .drop("_round")
         )
 

@@ -82,5 +82,9 @@ class CrawlConfig:
     seen_partitions: int = SEEN_PARTITIONS
     seen_capacity_per_part: int = 1 << 16
     seen_filter_kind: str = "bloom"  # or "cuckoo" (frontier/cuckoo.py)
+    # broadcast the per-round scheduled url-set into the fetch semi-join
+    # (html never shuffles). Set False for rounds too large to broadcast —
+    # the semi join then shuffles url keys only (operators/fetch.py).
+    fetch_broadcast_urls: bool = True
     salt_shards: int = HOST_SALT_SHARDS
     prompts: tuple[Prompt, ...] = field(default_factory=tuple)

@@ -195,7 +195,8 @@ def run_round(
         .withColumn("filtered_at_stage", F.lit(None).cast("string"))
     )
     fetched = fetch_extract(items, tables["pages"],
-                            threshold=config.probability_threshold)
+                            threshold=config.probability_threshold,
+                            broadcast_urls=config.fetch_broadcast_urls)
     prompts = config.prompts or (
         prompts_from_dim(tables["prompts"]) if "prompts" in tables else ()
     )

@@ -50,22 +50,28 @@ def robots_from_txt(raw: DataFrame, user_agent: str = "*") -> DataFrame:
     are handled; empty ``Disallow:`` (allow-all) lines are dropped.
 
     Scale shape: one explode + two hash aggregations keyed by host —
-    robots files are KBs, hosts are the natural partition key.
+    robots files are KBs, hosts are the natural partition key. Duplicate
+    (host) rows are safe: each DOCUMENT parses in its own window
+    partition (keyed by the text digest, so exploded line positions never
+    interleave across documents) and the final per-host merge unions
+    prefixes / takes the min delay across documents.
     """
+    raw = raw.select("host", "robots_txt").distinct()
     lines = raw.select(
         "host",
+        F.md5(F.col("robots_txt")).alias("doc"),
         F.posexplode(F.split(F.col("robots_txt"), "\r?\n")).alias("pos", "line"),
     ).select(
-        "host", "pos",
+        "host", "doc", "pos",
         # strip comments + whitespace
         F.trim(F.regexp_replace(F.col("line"), "#.*$", "")).alias("line"),
     ).where(F.col("line") != "")
     key = F.lower(F.trim(F.regexp_extract(F.col("line"), "^([^:]+):", 1)))
     val = F.trim(F.regexp_extract(F.col("line"), "^[^:]+:(.*)$", 1))
-    lines = lines.select("host", "pos", key.alias("key"), val.alias("val"))
+    lines = lines.select("host", "doc", "pos", key.alias("key"), val.alias("val"))
     # group id: running count of user-agent lines (a new group starts at a
     # user-agent line that does NOT directly follow another user-agent line)
-    w = Window.partitionBy("host").orderBy("pos")
+    w = Window.partitionBy("host", "doc").orderBy("pos")
     prev_key = F.lag("key").over(w)
     new_group = (
         (F.col("key") == "user-agent")
@@ -75,7 +81,7 @@ def robots_from_txt(raw: DataFrame, user_agent: str = "*") -> DataFrame:
         "grp", F.sum(new_group).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     per_group = (
-        grouped.groupBy("host", "grp")
+        grouped.groupBy("host", "doc", "grp")
         .agg(
             F.collect_set(
                 F.when(F.col("key") == "user-agent", F.lower(F.col("val")))

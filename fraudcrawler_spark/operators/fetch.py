@@ -61,9 +61,11 @@ def fetch_extract(
         "fetch_status", F.lit("skipped")
     )
 
-    # unflagged rows are unique by url (dedup stage flags later dups), but
-    # distinct() defensively — the url set is small either way
-    keys = active.select("url").distinct()
+    # no distinct() here: LEFT SEMI output is per PAGES row (≥1 match),
+    # so duplicate keys cannot duplicate output — and unflagged rows are
+    # unique by url anyway (dedup stage flags later dups). Skipping it
+    # saves a full shuffle of the scheduled set every round.
+    keys = active.select("url")
     if broadcast_urls:
         keys = F.broadcast(keys)
     hit_pages = pages.select("url", "html", "lang", "warc_ts").join(

@@ -100,10 +100,12 @@ class ResultsRegistry:
         path = os.path.join(self.results_dir, name)
         # the timestamp has 1 s resolution: two same-second saves of the
         # same (term, lang, loc) would silently overwrite run 1 while the
-        # registry kept both entries — disambiguate with a suffix instead
+        # registry kept both entries — disambiguate with a suffix instead.
+        # Check DISK too, not just this instance's registry: another
+        # process (or an earlier run) may own the colliding path.
         k = 1
         taken = {r.filename for r in self._results}
-        while path in taken:
+        while path in taken or os.path.exists(path):
             path = os.path.join(self.results_dir, f"{name[:-4]}_{k}.csv")
             k += 1
         out = (

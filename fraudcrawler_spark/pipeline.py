@@ -105,6 +105,7 @@ def run_pipeline(
     )
     items = dedup_flag(items, order_by=[F.col("priority"), F.col("serp_rank")], seen=seen)
     items = fetch_extract(items, t["pages"], threshold=config.probability_threshold,
-                          keep_links=False)
+                          keep_links=False,
+                          broadcast_urls=config.fetch_broadcast_urls)
     items = classify_stage(items, prompts)
     return items.select(*RESULT_COLUMNS)

@@ -137,6 +137,22 @@ def test_robots_txt_parser(spark):
     assert dim["a.ch"]["crawl_delay_ms"] == 2500
     assert "b.ch" not in dim  # no matching group → host unconstrained
 
+    # duplicate host rows (e.g. refetch unioned with the old dim): each
+    # document parses independently — no cross-document line interleaving —
+    # and the host merge unions prefixes / takes the min delay
+    dup = spark.createDataFrame(
+        pd.DataFrame({
+            "host": ["a.ch", "a.ch"],
+            "robots_txt": [
+                "User-agent: *\nDisallow: /one/\nCrawl-delay: 4\n",
+                "User-agent: *\nDisallow: /two/\nCrawl-delay: 1\n",
+            ],
+        })
+    )
+    d = robots_from_txt(dup).collect()[0]
+    assert sorted(d["disallow_prefixes"]) == ["/one/", "/two/"]
+    assert d["crawl_delay_ms"] == 1000
+
     frontier = spark.createDataFrame(
         pd.DataFrame(
             {
