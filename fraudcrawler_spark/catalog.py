@@ -176,12 +176,14 @@ class IcebergBackend:
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         if not self._table_exists(table):
-            w = out.writeTo(full).partitionedBy(F.col("_round"))
+            out.writeTo(full).partitionedBy(F.col("_round")).create()
             if sort_cols:
                 # real table-level sort order (the emulation can only sort
-                # within files): frontier scans stay sequential
-                w = w.tableProperty("sort-order", ",".join(sort_cols))
-            w.create()
+                # within files). WRITE ORDERED BY is Iceberg's actual
+                # mechanism — a "sort-order" tableProperty would be stored
+                # but inert.
+                cols = ", ".join(sort_cols)
+                self.spark.sql(f"ALTER TABLE {full} WRITE ORDERED BY ({cols})")
         else:
             # explicit partition delete + append, NOT overwritePartitions:
             # dynamic overwrite with an EMPTY dataframe clears nothing, so

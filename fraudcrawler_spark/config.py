@@ -86,5 +86,10 @@ class CrawlConfig:
     # (html never shuffles). Set False for rounds too large to broadcast —
     # the semi join then shuffles url keys only (operators/fetch.py).
     fetch_broadcast_urls: bool = True
+    # auto-fallback guard: even with the flag on, rounds scheduling more
+    # urls than this go through the shuffle semi-join (the crawl loop
+    # already knows the scheduled count — no extra job). 2M urls ≈ 160 MB
+    # broadcast; far below Spark's 8 GB hard cap but a sane driver bound.
+    fetch_broadcast_max_urls: int = 2_000_000
     salt_shards: int = HOST_SALT_SHARDS
     prompts: tuple[Prompt, ...] = field(default_factory=tuple)

@@ -194,9 +194,16 @@ def run_round(
         .withColumn("filtered", F.lit(False))
         .withColumn("filtered_at_stage", F.lit(None).cast("string"))
     )
+    # auto-fallback: a round scheduling more urls than the broadcast bound
+    # must NOT rely on a static flag (10^10-url rounds would OOM the
+    # driver) — the scheduled count is already in hand, so decide per round
+    bcast = (
+        config.fetch_broadcast_urls
+        and sched_counts.get("scheduled", 0) <= config.fetch_broadcast_max_urls
+    )
     fetched = fetch_extract(items, tables["pages"],
                             threshold=config.probability_threshold,
-                            broadcast_urls=config.fetch_broadcast_urls)
+                            broadcast_urls=bcast)
     prompts = config.prompts or (
         prompts_from_dim(tables["prompts"]) if "prompts" in tables else ()
     )

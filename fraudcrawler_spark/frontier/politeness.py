@@ -99,7 +99,20 @@ def robots_from_txt(raw: DataFrame, user_agent: str = "*") -> DataFrame:
                 )
             ).alias("delay_ms"),
         )
-        .where(F.array_contains("agents", user_agent.lower()))
+    )
+    # RFC 9309 group matching: groups naming the agent win; if the named
+    # agent matches NO group in the host's robots, fall back to the '*'
+    # groups (for user_agent='*' the two flags coincide — same code path).
+    ua = user_agent.lower()
+    per_group = per_group.withColumn(
+        "m_named", F.array_contains("agents", ua)
+    ).withColumn("m_star", F.array_contains("agents", "*"))
+    host_w = Window.partitionBy("host")
+    per_group = per_group.withColumn(
+        "has_named", F.max(F.col("m_named").cast("int")).over(host_w) > 0
+    ).where(
+        (F.col("has_named") & F.col("m_named"))
+        | (~F.col("has_named") & F.col("m_star"))
     )
     return per_group.groupBy("host").agg(
         F.array_distinct(F.flatten(F.collect_list("disallows"))).alias(

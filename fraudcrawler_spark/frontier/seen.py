@@ -7,7 +7,9 @@ computed natively in Spark (F.crc32) and identically in Python
 and no per-row Python is needed for routing.
 
 Probe path (per round):
-  candidates → part = crc32(url)%P → cogroup with Bloom segments →
+  candidates → part = crc32(url)%P, h1 = xxhash64(url) (both JVM columns —
+  the Arrow kernels never hash a url in Python) → cogroup with Bloom
+  segments →
   definite-new (Bloom negative) short-circuits; Bloom positives are
   confirmed with an exact anti-join against the persisted seen table
   (FPs can never drop a URL — north_rule exactness).
@@ -31,7 +33,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from fraudcrawler_spark.frontier.bloom import new_segment, segments_from_pdf
+from fraudcrawler_spark.frontier.bloom import (
+    new_segment,
+    segments_from_pdf,
+    series_u64,
+)
 
 SEG_SCHEMA = StructType(
     [
@@ -54,6 +60,15 @@ PROBE_SCHEMA = StructType(
 def with_part(df: DataFrame, partitions: int, url_col: str = "url") -> DataFrame:
     return df.withColumn(
         "part", F.pmod(F.crc32(F.col(url_col)), F.lit(partitions)).cast("int")
+    )
+
+
+def with_part_hash(df: DataFrame, partitions: int,
+                   url_col: str = "url") -> DataFrame:
+    """part for routing + h1 = xxhash64(url) for segment membership — both
+    computed JVM-side so the Arrow kernels never hash a url in Python."""
+    return with_part(df, partitions, url_col).withColumn(
+        "h1", F.xxhash64(F.col(url_col))
     )
 
 
@@ -103,7 +118,7 @@ class SeenStore:
         sel = urls.select(F.col(url_col).alias("url"))
         if not assume_unique:
             sel = sel.distinct()
-        cand = with_part(sel, self.partitions)
+        cand = with_part_hash(sel, self.partitions)
         if self._segments is None:
             return cand.select("url").withColumn("maybe_seen", F.lit(False))
 
@@ -113,8 +128,10 @@ class SeenStore:
             if right.empty:
                 return pd.DataFrame({"url": left["url"], "maybe_seen": False})
             seg = segments_from_pdf(right)[int(right["part"].iloc[0])]
+            # h1 is the JVM xxhash64 column — membership is pure numpy
             return pd.DataFrame(
-                {"url": left["url"], "maybe_seen": seg.contains_many(left["url"].tolist())}
+                {"url": left["url"],
+                 "maybe_seen": seg.contains_hashed(series_u64(left["h1"]))}
             )
 
         return (
@@ -153,7 +170,7 @@ class SeenStore:
         and Python-pass count of the old probe-then-merge round path.
         """
         extra_cols = [c for c in urls.columns if c != url_col]
-        inp = with_part(
+        inp = with_part_hash(
             urls.select(F.col(url_col).alias("url"), *extra_cols), self.partitions
         )
         cap, kind = self.capacity_per_part, self.filter_kind
@@ -190,13 +207,15 @@ class SeenStore:
             )
             if left.empty:
                 return seg_row[out_cols]
-            # column-wise output construction — no per-row Python loop on
-            # the hot path (this kernel sees every scheduled url per round)
-            hit = seg.contains_many(left["url"].tolist())
-            new_urls = left.loc[~hit, "url"]
-            if len(new_urls):
-                seg.add_many(new_urls.tolist())
-                n_items += len(new_urls)
+            # column-wise construction + JVM-hashed membership — zero
+            # per-url Python on the hot path (this kernel sees every
+            # scheduled url per round)
+            h1 = series_u64(left["h1"])
+            hit = seg.contains_hashed(h1)
+            n_new = int((~hit).sum())
+            if n_new:
+                seg.add_hashed(h1[~hit])
+                n_items += n_new
                 seg_row.loc[:, "n_items"] = n_items
                 seg_row.loc[:, "bitmap"] = [seg.to_bytes()]
             url_part = pd.DataFrame(
@@ -258,8 +277,10 @@ class SeenStore:
     def add(self, new_urls: DataFrame, url_col: str = "url") -> None:
         """Merge claimed urls into segments + seen table (in-memory DFs;
         persistence is the checkpoint layer's job)."""
-        new = with_part(new_urls.select(F.col(url_col).alias("url")).distinct(),
-                        self.partitions)
+        new = with_part_hash(
+            new_urls.select(F.col(url_col).alias("url")).distinct(),
+            self.partitions,
+        )
         cap, kind = self.capacity_per_part, self.filter_kind
 
         def _merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -271,7 +292,7 @@ class SeenStore:
                 seg = segments_from_pdf(right)[part]
                 n_items = int(right["n_items"].iloc[0]) if "n_items" in right else 0
             if not left.empty:
-                seg.add_many(left["url"].tolist())
+                seg.add_hashed(series_u64(left["h1"]))
                 n_items += len(left)
             # n_items tracks segment load: fill > capacity means the FP
             # rate is degrading (correctness is unaffected — positives are
