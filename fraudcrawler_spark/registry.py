@@ -10,6 +10,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fraudcrawler_spark import conformance as c
 from fraudcrawler_spark import conformance_ml as m
@@ -74,6 +75,10 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the crawl oracles read the deterministic corpus parquet by absolute
+    # path — materialize it up front so the SQL is runnable regardless of
+    # whether the driver executes the Spark side first
+    _crawl_corpus()
     return {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}
 
 
@@ -138,8 +143,16 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One frontier round: politeness cells + Bloom seen probe + fetch —
-    returns the round-0 results table."""
+    """One frontier round: robots gate + Bloom seen probe + fetch + classify
+    — returns the round-0 results table.
+
+    host_budget is schedule-all here ON PURPOSE: the politeness salt is
+    crc32(url), which DuckDB cannot compute, so a budget-constrained round
+    would be oracle-opaque. Budgeted cell selection has its own exact
+    oracle (``politeness_cells``); THIS entry value-checks the full round
+    (discovery → frontier → robots → seen claim → fetch/extract → prob
+    flag → classify) against SQL_CRAWL_ROUND. warc_ts is cast to epoch
+    seconds so both engines hash the same scalar."""
     import tempfile
     import shutil
     import os
@@ -150,11 +163,14 @@ def q_crawl_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), "fc_conf_round")
     shutil.rmtree(root, ignore_errors=True)
     state = run_crawl(
-        spark, _crawl_corpus(), root, CrawlConfig(host_budget=8, max_depth=1),
+        spark, _crawl_corpus(), root, CrawlConfig(host_budget=1000, max_depth=1),
         max_rounds=1,
     )
     return _flatten_for_driver(
-        spark, state.read("results", 0).drop("links", "product_images")
+        spark,
+        state.read("results", 0)
+        .drop("links", "product_images")
+        .withColumn("warc_ts", F.col("warc_ts").cast("long")),
     )
 
 
@@ -200,9 +216,212 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROWS_ONLY: dict[str, QueryFn] = {
-    "crawl_pipeline": q_crawl_pipeline,
-    "crawl_frontier_round": q_crawl_frontier_round,
     "crawl_multimodal": q_crawl_multimodal,
     "crawl_frames": q_crawl_frames,
     "streaming_ingest": q_streaming_ingest,
 }
+
+
+# --------------------------------------------------------------------------
+# DuckDB twins for the crawl-engine entries (VERDICT r2 item 3): the corpus
+# HTML is regex-regular and deterministic (datagen.py, seed 42), so the full
+# pipeline — discovery, country flag, marketplace/excluded joins, dedup,
+# fetch/extract, probability flag, md5 classify — is ANSI-SQL-expressible
+# over the exported parquet. These convert the two biggest rows-only
+# entries into hard value-checked oracles.
+# --------------------------------------------------------------------------
+
+def _corpus_sql_dir(n_pages: int = 2000) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
+
+
+def _sql_classify_case(context: str, allowed: tuple[int, ...]) -> str:
+    """CASE expr: the md5-digit classifier over the byte-exact user prompt
+    (incl. the literal backslash-n typo) with allowed-class validation."""
+    prompt = (
+        f"'Context: {context}'"
+        " || chr(10) || chr(10) || 'Product Details: ' || product_name"
+        " || chr(10) || product_description || chr(92) || 'n' || chr(10)"
+        " || 'Relevance:'"
+    )
+    digit = f"(('0x' || substr(md5({prompt}), 1, 8))::UBIGINT % 10)"
+    allowed_list = ", ".join(str(a) for a in allowed)
+    return (
+        "CASE WHEN filtered THEN NULL\n"
+        "       WHEN product_name IS NULL OR product_description IS NULL THEN -1\n"
+        f"       WHEN {digit} IN ({allowed_list}) THEN {digit}::INT\n"
+        "       ELSE -1 END"
+    )
+
+
+_SQL_EXTRACT_FIELDS = """
+    NULLIF(regexp_extract(doc, '<title>([^<]*)</title>', 1), '') AS product_name,
+    NULLIF(regexp_extract(doc, '<span class="price">([^<]*)</span>', 1), '') AS product_price,
+    NULLIF(regexp_extract(doc, '<p class="description">([^<]*)</p>', 1), '') AS product_description,
+    CASE WHEN contains(doc, '<meta name="product:probability"')
+         THEN TRY_CAST(regexp_extract(doc,
+           '<meta name="product:probability" content="([^"]*)"', 1) AS DOUBLE)
+    END AS probability
+"""
+
+_SQL_CANON_DOMAIN = r"""
+  SELECT *, CASE WHEN h = '' THEN url ELSE h END AS domain
+  FROM (SELECT *,
+          regexp_replace(lower(regexp_extract(url,
+            '^(?:https?://)?(?:[^/@:?#]*@)?([^/@:?#]+)', 1)), '^www\.', '') AS h
+        FROM {src})
+"""
+
+_D = _corpus_sql_dir()
+
+SQL_CRAWL_PIPELINE = rf"""
+WITH pages AS (SELECT * FROM read_parquet('{_D}/pages.parquet')),
+seeds AS (SELECT * FROM read_parquet('{_D}/seeds.parquet')),
+hosts AS (SELECT * FROM read_parquet('{_D}/hosts.parquet')),
+excluded AS (SELECT * FROM read_parquet('{_D}/excluded_hosts.parquet')),
+matched AS (
+  SELECT p.url, s.search_term, s.search_term_type, s.num_results, s.priority
+  FROM (SELECT url, split_part(split_part(text, chr(10), 1), ' ', 1) AS tt
+        FROM pages) p
+  JOIN seeds s ON p.tt = s.search_term
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY search_term
+      ORDER BY regexp_extract(url, 'p(\d{{6}})', 1)::INT
+    ) AS serp_rank
+    FROM matched
+  ) WHERE serp_rank <= num_results
+),
+cflag AS (
+  SELECT *,
+    NOT (contains(lower(url), '.ch') OR contains(lower(url), '.com')) AS filtered,
+    CASE WHEN NOT (contains(lower(url), '.ch') OR contains(lower(url), '.com'))
+         THEN 'country code filtering' END AS stage0
+  FROM topk
+),
+dom AS ({_SQL_CANON_DOMAIN.format(src="cflag")}),
+mp_dim AS (
+  SELECT lower(d) AS dom_key, arg_min(name, host_idx) AS mp_name
+  FROM (SELECT name, host_idx, unnest(domains) AS d FROM hosts)
+  GROUP BY 1
+),
+disc AS (
+  SELECT f.*, COALESCE(m.mp_name, 'Google') AS marketplace_name
+  FROM dom f LEFT JOIN mp_dim m ON lower(f.domain) = m.dom_key
+  WHERE f.domain NOT IN (SELECT DISTINCT unnest(domains) FROM excluded)
+),
+ded AS (
+  SELECT *,
+    (NOT filtered AND ROW_NUMBER() OVER (
+       PARTITION BY url ORDER BY filtered::INT, priority, serp_rank) > 1) AS cur_dup
+  FROM disc
+),
+d3 AS (
+  SELECT * EXCLUDE (filtered, stage0, cur_dup),
+    (filtered OR cur_dup) AS filtered,
+    CASE WHEN cur_dup THEN 'URL collection (current run deduplication)'
+         ELSE stage0 END AS stage1
+  FROM ded
+),
+fetched AS (
+  SELECT d.*, decode(p.html) AS doc
+  FROM d3 d LEFT JOIN pages p ON d.url = p.url AND NOT d.filtered
+),
+ext AS (
+  SELECT *, {_SQL_EXTRACT_FIELDS}
+  FROM fetched
+),
+pf AS (
+  SELECT * EXCLUDE (filtered, stage1),
+    (filtered OR (NOT filtered AND probability IS NOT NULL AND probability <= 0.1)) AS filtered,
+    CASE WHEN NOT filtered AND probability IS NOT NULL AND probability <= 0.1
+         THEN 'Zyte probability threshold' ELSE stage1 END AS filtered_at_stage
+  FROM ext
+)
+SELECT search_term, search_term_type, url, marketplace_name, domain,
+  product_name, product_price, product_description, probability,
+  filtered, filtered_at_stage,
+  -1 AS is_relevant,
+  {_sql_classify_case("Is this product relevant to pharmaceutical fraud monitoring?", (0, 1))} AS classification_relevance,
+  {_sql_classify_case("How serious is the offer?", (0, 1, 2))} AS classification_seriousness
+FROM pf
+"""
+
+SQL_CRAWL_ROUND = rf"""
+WITH pages AS (SELECT * FROM read_parquet('{_D}/pages.parquet')),
+seeds AS (SELECT * FROM read_parquet('{_D}/seeds.parquet')),
+excluded AS (SELECT * FROM read_parquet('{_D}/excluded_hosts.parquet')),
+robots AS (SELECT * FROM read_parquet('{_D}/robots.parquet')),
+matched AS (
+  SELECT p.url, s.search_term, s.num_results
+  FROM (SELECT url, split_part(split_part(text, chr(10), 1), ' ', 1) AS tt
+        FROM pages) p
+  JOIN seeds s ON p.tt = s.search_term
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY search_term
+      ORDER BY regexp_extract(url, 'p(\d{{6}})', 1)::INT
+    ) AS serp_rank
+    FROM matched
+  ) WHERE serp_rank <= num_results
+),
+unflagged AS (
+  SELECT * FROM topk
+  WHERE contains(lower(url), '.ch') OR contains(lower(url), '.com')
+),
+dom AS ({_SQL_CANON_DOMAIN.format(src="unflagged")}),
+frontier0 AS (
+  SELECT DISTINCT url, domain AS host
+  FROM dom
+  WHERE domain NOT IN (SELECT DISTINCT unnest(domains) FROM excluded)
+),
+sched AS (
+  -- host_budget is schedule-all in this entry (see q_crawl_frontier_round
+  -- docstring), so scheduling reduces to the robots gate: blocked urls
+  -- are claimed into the seen store but produce no result row
+  SELECT f.url, f.host
+  FROM frontier0 f LEFT JOIN robots r ON f.host = r.host
+  WHERE NOT COALESCE(
+    len(list_filter(COALESCE(r.disallow_prefixes, []),
+        p -> starts_with(regexp_replace(f.url, '^https?://[^/]+', ''), p))) > 0,
+    FALSE)
+),
+fetched AS (
+  SELECT s.url, s.host, p.lang, epoch(p.warc_ts)::BIGINT AS warc_ts,
+         decode(p.html) AS doc,
+         CASE WHEN p.url IS NOT NULL THEN 'hit' ELSE 'miss' END AS fetch_status
+  FROM sched s LEFT JOIN pages p ON s.url = p.url
+),
+ext AS (
+  SELECT *, {_SQL_EXTRACT_FIELDS},
+    list_aggregate(list_filter(list_transform(
+      string_split(regexp_replace(doc, '<[^>]+>', chr(10), 'g'), chr(10)),
+      x -> trim(x)), x -> x <> ''), 'string_agg', chr(10)) AS extracted_text
+  FROM fetched
+),
+pf AS (
+  SELECT *,
+    (probability IS NOT NULL AND probability <= 0.1) AS filtered,
+    CASE WHEN probability IS NOT NULL AND probability <= 0.1
+         THEN 'Zyte probability threshold' END AS filtered_at_stage
+  FROM ext
+)
+SELECT url, host, 0 AS priority, 0 AS crawl_depth,
+  filtered, filtered_at_stage, lang, warc_ts,
+  product_name, product_price, product_description, probability,
+  extracted_text, fetch_status,
+  {_sql_classify_case("Is this product relevant to pharmaceutical fraud monitoring?", (0, 1))} AS classification_relevance,
+  {_sql_classify_case("How serious is the offer?", (0, 1, 2))} AS classification_seriousness,
+  -1 AS is_relevant, 0 AS round
+FROM pf
+"""
+
+REGISTRY["crawl_pipeline"] = (q_crawl_pipeline, SQL_CRAWL_PIPELINE)
+REGISTRY["crawl_frontier_round"] = (q_crawl_frontier_round, SQL_CRAWL_ROUND)
