@@ -48,6 +48,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_topk": (m.q_ann_topk, m.SQL_ANN_TOPK),
     "text_tokens": (m.q_text_tokens, m.SQL_TEXT_TOKENS),
     "text_tokens_bpe": (m.q_text_tokens_bpe, m.SQL_TEXT_TOKENS_BPE),
+    "text_tokens_bpe_real": (m.q_text_tokens_bpe_real, m.SQL_TEXT_TOKENS_BPE_REAL),
     "text_quality": (m.q_text_quality, m.SQL_TEXT_QUALITY),
     "text_langid": (m.q_text_langid, m.SQL_TEXT_LANGID),
     "multimodal_meta": (m.q_multimodal_meta, m.SQL_MULTIMODAL_META),

@@ -146,3 +146,39 @@ def test_robots_named_agent_star_fallback(spark):
     dim_star = {r["host"]: r for r in robots_from_txt(raw).collect()}
     assert dim_star["both.ch"]["disallow_prefixes"] == ["/everyone/"]
     assert "other.ch" not in dim_star
+
+
+def test_bpe_real_twin_and_divergence(spark):
+    """Real-BPE (VERDICT r2 item 4): the JVM replace-chain expression equals
+    the Python twin everywhere, and diverges from the regex proxy on
+    merge-heavy text (done-criterion)."""
+    from pyspark.sql import Row
+
+    from fraudcrawler_spark.functions.bpe import (
+        BPE_MERGES,
+        bpe_count_expr,
+        bpe_count_py,
+        bpe_units_py,
+    )
+
+    assert len(BPE_MERGES) >= 32
+    texts = [
+        "the window scanner ran 42 times!",
+        "",
+        "zzz qqq xyxyxy",                       # unmerged letters
+        "window window window",                 # fully-merged word
+        "a1b2c3 -- punct... and; digits 000",
+        "Mixed CASE Window wInDoW",             # case-sensitive merges
+    ]
+    df = spark.createDataFrame([Row(text=t) for t in texts]).select(
+        "text", bpe_count_expr(F.col("text")).alias("n")
+    )
+    got = {r["text"]: r["n"] for r in df.collect()}
+    for t in texts:
+        assert got[t] == bpe_count_py(t), f"twin mismatch on {t!r}"
+
+    # divergence from the proxy: a split word costs more than one unit
+    assert bpe_units_py("window") == ["window"]          # merged to 1 unit
+    assert len(bpe_units_py("qqqzz")) == 5               # no merges apply
+    proxy_runs = 1                                       # 'qqqzz' is 1 run
+    assert bpe_count_py("qqqzz") == 5 > proxy_runs
