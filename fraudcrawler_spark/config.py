@@ -91,5 +91,9 @@ class CrawlConfig:
     # already knows the scheduled count — no extra job). 2M urls ≈ 160 MB
     # broadcast; far below Spark's 8 GB hard cap but a sane driver bound.
     fetch_broadcast_max_urls: int = 2_000_000
+    # recrawl/TTL: urls claimed k rounds ago are retired from the seen
+    # store and re-enqueued (requires seen_filter_kind='cuckoo' — the
+    # deletion-capable backend; Bloom refuses). None = never recrawl.
+    recrawl_after_rounds: int | None = None
     salt_shards: int = HOST_SALT_SHARDS
     prompts: tuple[Prompt, ...] = field(default_factory=tuple)

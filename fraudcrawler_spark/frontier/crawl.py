@@ -140,6 +140,27 @@ def run_round(
 
     tick = [time.time()]
     frontier = state.read("frontier", round_no)
+
+    # --- recrawl/TTL: retire urls claimed `recrawl_after_rounds` ago ----------
+    # (cuckoo backend only — SeenStore.retire raises on Bloom). Retired urls
+    # probe filter-negative again, so re-enqueueing them into THIS round's
+    # frontier makes them fetch fresh; their re-claim lands in this round's
+    # seen delta, so they expire again k rounds later (recurring recrawl).
+    if config.recrawl_after_rounds is not None:
+        er = round_no - config.recrawl_after_rounds
+        if er >= 0 and state.exists("seen", er):
+            expired = state.read("seen", er).select("url").distinct().localCheckpoint()
+            if expired.count() > 0:
+                store.retire(expired)
+                refresh = expired.join(
+                    frontier.select("url"), "url", "left_anti"
+                ).select(
+                    "url",
+                    canonical_host_expr(F.col("url")).alias("host"),
+                    F.lit(0).alias("priority"),
+                    F.lit(0).alias("crawl_depth"),
+                )
+                frontier = frontier.unionByName(refresh.select(*FRONTIER_COLS))
     _mark("t_read", tick)
 
     # --- politeness + robots ------------------------------------------------

@@ -273,6 +273,60 @@ class SeenStore:
         )
         return new_all
 
+    # -- retire (recrawl/TTL) ------------------------------------------------
+    def retire(self, urls: DataFrame, url_col: str = "url") -> None:
+        """Remove urls from the seen store so they can be claimed (and
+        fetched) again — the recrawl/TTL path. Requires the
+        deletion-capable cuckoo backend: Bloom bits are shared between
+        keys, so Bloom REFUSES (deleting would corrupt other members).
+
+        One cogroup pass deletes the fingerprints from the segments
+        (hashes computed JVM-side, numpy kernel); the exact seen table
+        drops the urls via anti-join. A retired url probes
+        filter-negative afterwards, so the next round claims and fetches
+        it fresh. Known bound: a retired url whose fingerprint collides
+        with another member in the same bucket pair (~2^-16 per
+        cohabitant) stays filter-positive and is re-confirmed against the
+        seen table — which is why the table must be pruned here too."""
+        if self.filter_kind != "cuckoo":
+            raise ValueError(
+                "retire() requires the deletion-capable cuckoo backend "
+                "(SeenStore(filter_kind='cuckoo')); Bloom cannot delete"
+            )
+        if self._segments is None:
+            return
+        ret = with_part_hash(
+            urls.select(F.col(url_col).alias("url")).distinct(), self.partitions
+        )
+
+        def _del(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if right.empty:
+                # urls routed to a partition with no segment: nothing to do
+                return pd.DataFrame(columns=[f.name for f in SEG_SCHEMA.fields])
+            part = int(right["part"].iloc[0])
+            seg = segments_from_pdf(right)[part]
+            n_items = int(right["n_items"].iloc[0]) if "n_items" in right else 0
+            if not left.empty:
+                deleted = seg.delete_hashed(series_u64(left["h1"]))
+                n_items = max(0, n_items - int(deleted.sum()))
+            return pd.DataFrame(
+                {
+                    "part": [part],
+                    "capacity": [seg.capacity],
+                    "n_hashes": [seg.n_hashes],
+                    "n_items": [n_items],
+                    "bitmap": [seg.to_bytes()],
+                }
+            )
+
+        self._segments = (
+            ret.groupBy("part")
+            .cogroup(self._segments.groupBy("part"))
+            .applyInPandas(_del, SEG_SCHEMA)
+        )
+        if self._seen is not None:
+            self._seen = self._seen.join(ret.select("url"), "url", "left_anti")
+
     # -- update ------------------------------------------------------------
     def add(self, new_urls: DataFrame, url_col: str = "url") -> None:
         """Merge claimed urls into segments + seen table (in-memory DFs;
