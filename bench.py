@@ -94,6 +94,58 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     return timings
 
 
+def run_scale_paths(sf_dir: str, cpus: int) -> dict[str, float]:
+    """Head-to-head: bucketed scale paths vs their brute-force twins at a
+    10× cap (VERDICT r2 item 8) — proving the bucketed plans win on real
+    data, not just in plan shape. simhash at 2000 docs (oracle cap: 200),
+    ANN at a 2000-vector db (oracle cap: 300; the sf0.1 embeddings table
+    tops out at 2000)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from fraudcrawler_spark import conformance_ml as m
+    from fraudcrawler_spark.session import get_spark
+
+    spark = get_spark("fc_scale_paths", cores=cpus,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+    def brute_topk(s, d):
+        # 5-query exact search over the 2000-vector db (IVF's brute twin)
+        pairs = m._vec_pairs_cos(s, d, 5, 5, 2000)
+        w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5).select("a", "b", "rank", "cos")
+        )
+
+    def brute_neardup(s, d):
+        # all-pairs cosine pair mining over 2000 vectors (LSH's brute twin)
+        return (
+            m._vec_pairs_cos(s, d, 2000, 0, 2000)
+            .where((F.col("a") < F.col("b")) & (F.col("cos") >= 0.2))
+            .select("a", "b", "cos")
+        )
+
+    # pair-mining family: banded/bucketed vs all-pairs (identical or
+    # superset semantics); query-search family: IVF (incl. one-off index
+    # build — amortizes over queries) vs exact scan
+    cases = {
+        "simhash_pairs_allpairs_2000": lambda s, d: m.q_simhash_pairs(s, d, cap=2000),
+        "simhash_pairs_banded_2000": lambda s, d: m.q_simhash_pairs_banded(s, d, cap=2000),
+        "emb_neardup_allpairs_2000": brute_neardup,
+        "ann_lsh_2000": lambda s, d: m.q_ann_lsh(s, d, max_vec=2000),
+        "ann_brute_topk_2000": brute_topk,
+        "ann_ivf_2000": lambda s, d: m.q_ann_ivf(s, d, db_max=2000),
+    }
+    out: dict[str, float] = {}
+    for name, fn in cases.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        out[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return out
+
+
 def core_throughput_worker(cpus: int, corpus: str) -> None:
     """Subprocess entry: the distributed CORE of one frontier round as a
     single DataFrame DAG — schedule window → Bloom probe + exact confirm →
@@ -237,8 +289,10 @@ def crawl_throughput_worker(cpus: int, corpus: str) -> None:
     elapsed = time.time() - t0
     m = state.read("metrics", 0).collect()[0].asDict()
     urls = m["n_scheduled"] + m["n_new"]
+    phases = {k: v for k, v in m.items() if k.startswith("t_")}
     print(json.dumps({"cpus": cpus, "elapsed_sec": round(elapsed, 2),
                       "urls": urls,
+                      "phases": phases,
                       "urls_per_sec": round(urls / elapsed, 1)}))
 
 
@@ -338,10 +392,10 @@ def run_scaling(corpus: str) -> dict:
     # efficiency is the best PAIR, with every sample + steal%% + capacity
     # probe in the record so a contaminated window stays visible.
     n_cores, n4_cores = 2, 8
-    cycles = int(os.environ.get("FC_SCALING_CYCLES", "2"))
-    scaling_budget = float(os.environ.get("FC_SCALING_BUDGET_SEC", "600"))
+    cycles = int(os.environ.get("FC_SCALING_CYCLES", "3"))
+    scaling_budget = float(os.environ.get("FC_SCALING_BUDGET_SEC", "900"))
     samples: dict[int, list[dict]] = {n_cores: [], n4_cores: []}
-    caps: list[float] = [host_parallel_capacity(n4_cores)]
+    cycle_probes: list[dict] = []
     t_scaling = time.time()
     for c in range(cycles):
         # always complete ≥1 full pair; later cycles only if budget allows
@@ -351,8 +405,22 @@ def run_scaling(corpus: str) -> dict:
         samples[n4_cores].append(
             _run_worker("_core", n4_cores, corpus, runs=4 if c == 0 else 3)
         )
-        caps.append(host_parallel_capacity(n4_cores))
+        # BOTH host probes INSIDE every cycle (VERDICT r2 item 1): a
+        # sub-0.8 raw pair must be attributable to the host from the JSON
+        # alone — capacity catches co-tenant CPU contention, the memcpy
+        # probe catches the DRAM-bandwidth ceiling that bounds the
+        # shuffle-heavy stages
+        cycle_probes.append({
+            "host_parallel_capacity": host_parallel_capacity(n4_cores),
+            "host_bandwidth_scaling": _safe_bandwidth(n_cores, n4_cores),
+        })
     pairs = list(zip(samples[n_cores], samples[n4_cores]))
+    effs = sorted(
+        p4["urls_per_sec"] / (4 * pn["urls_per_sec"]) for pn, p4 in pairs
+    )
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else (
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    )
     best_n, best_4n = max(
         pairs, key=lambda p: p[1]["urls_per_sec"] / p[0]["urls_per_sec"]
     )
@@ -365,6 +433,7 @@ def run_scaling(corpus: str) -> dict:
     full = _run_worker("_crawl", 32, small)
     tn = best_n["urls_per_sec"]
     t4n = best_4n["urls_per_sec"]
+    full_extra = {"full_round_phases": full.get("phases", {})}
     return {
         "core_n_cores": n_cores,
         "core_4n_cores": n4_cores,
@@ -380,16 +449,32 @@ def run_scaling(corpus: str) -> dict:
             {
                 "n_urls_per_sec": sn["urls_per_sec"],
                 "n4_urls_per_sec": s4["urls_per_sec"],
+                "n_steal_pct": sn.get("steal_pct"),
+                "n4_steal_pct": s4.get("steal_pct"),
                 "efficiency": round(s4["urls_per_sec"] / (4 * sn["urls_per_sec"]), 3),
+                "host_parallel_capacity": pr["host_parallel_capacity"],
+                "host_bandwidth_scaling": pr["host_bandwidth_scaling"],
+                "efficiency_vs_bandwidth": (
+                    round(min(1.0, (s4["urls_per_sec"] / (4 * sn["urls_per_sec"]))
+                              / pr["host_bandwidth_scaling"]), 3)
+                    if pr["host_bandwidth_scaling"] else None
+                ),
             }
-            for sn, s4 in pairs
+            for (sn, s4), pr in zip(pairs, cycle_probes)
         ],
-        "host_capacity_probe": caps,
-        "host_bandwidth_scaling_2to8": _safe_bandwidth(n_cores, n4_cores),
-        "scaling_efficiency": round(t4n / (4 * tn), 3),
+        "host_capacity_probe": [p["host_parallel_capacity"] for p in cycle_probes],
+        "host_bandwidth_scaling_2to8": (
+            cycle_probes[-1]["host_bandwidth_scaling"] if cycle_probes else None
+        ),
+        # headline = MEDIAN pair (ADVICE r2: max-over-pairs is upward-
+        # biased); the best pair stays visible as best_pair_efficiency
+        # and per-cycle raw numbers are all in core_cycles
+        "scaling_efficiency": round(median_eff, 3),
+        "best_pair_efficiency": round(t4n / (4 * tn), 3),
         "full_round_local32_urls_per_sec": full["urls_per_sec"],
         "full_round_local32_elapsed_sec": full["elapsed_sec"],
         "urls_per_round": full["urls"],
+        **full_extra,
     }
 
 
@@ -401,9 +486,14 @@ def main() -> None:
     # resilient: always emit the one JSON line, even if a phase dies
     timings: dict[str, float] = {}
     scaling: dict = {}
+    scale_paths: dict[str, float] = {}
     try:
         corpus = _bench_corpus()
         timings = run_headline(sf_dir, cpus)
+        try:
+            scale_paths = run_scale_paths(sf_dir, cpus)
+        except Exception as e:
+            scale_paths = {"error": repr(e)[:200]}
         scaling = run_scaling(corpus)
         cap = host_parallel_capacity(8)
         scaling["host_parallel_capacity_8way"] = cap
@@ -430,6 +520,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "scale_paths": scale_paths,
                 "frontier": scaling,
             }
         )
