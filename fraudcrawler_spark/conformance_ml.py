@@ -547,13 +547,22 @@ def q_text_quality(spark, sf_dir):
     over the deterministically-noised text (see _noisy_text_expr).
     Everything is a per-row expression — zero shuffles."""
     d = _t(spark, sf_dir, "documents").withColumn("text", _noisy_text_expr())
-    toks = _tokens_expr()
+    # materialize toks as a REAL column before the higher-order exprs:
+    # element_at(<split-expr>, i) inside a transform lambda re-evaluates
+    # the whole split per ELEMENT (no CSE through HOF lambdas) — measured
+    # 21 s vs 0.8 s on sf0.1 for the bigram scan alone
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        _tokens_expr().alias("toks"),
+    )
+    toks = F.col("toks")
     n_toks = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
-    return d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    return base.select(
+        "doc_id",
         F.length("text").cast("long").alias("n_chars_calc"),
         n_toks.cast("long").alias("n_tokens"),
         F.round(n_stop / F.greatest(n_toks, F.lit(1)), 4).alias("stop_ratio"),
