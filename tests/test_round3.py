@@ -294,3 +294,40 @@ def test_rows_only_golden_value_hash(spark, name, n_rows, golden_md5):
     assert len(rows) == n_rows
     h = hashlib.md5("\n".join("|".join(r) for r in rows).encode()).hexdigest()
     assert h == golden_md5, f"{name}: value hash drifted"
+
+
+def test_spark_submit_py_files_packaging(corpus_dir, tmp_path):
+    """north_rule packaging clause: the job ships via `spark-submit
+    --py-files fraudcrawler_spark.zip`. Zip the package, launch the demo
+    driver from a NEUTRAL cwd (so the zip — not the repo checkout — is
+    the import source), assert the crawl commits rounds."""
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "fraudcrawler_spark")
+    zpath = str(tmp_path / "fraudcrawler_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+    state = str(tmp_path / "state")
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "--py-files", zpath,
+         os.path.join(repo, "launch_demo_crawl.py"), corpus_dir, state, "2"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=900,
+    )
+    assert r.returncode == 0, f"spark-submit failed:\n{r.stderr[-2000:]}"
+    manifest = os.path.join(state, "manifest.json")
+    assert os.path.exists(manifest), "crawl must commit a manifest"
+    import json
+
+    m = json.load(open(manifest))
+    assert m["last_round"] >= 1
