@@ -129,9 +129,19 @@ def run_scale_paths(sf_dir: str, cpus: int) -> dict[str, float]:
     # pair-mining family: banded/bucketed vs all-pairs (identical or
     # superset semantics); query-search family: IVF (incl. one-off index
     # build — amortizes over queries) vs exact scan
+    def s64(s, d, cap, banded):
+        sh = m.q_dedup_simhash64(s, d).where(F.col("doc_id") < cap).localCheckpoint()
+        fn = m.simhash64_pairs_banded if banded else m.simhash64_pairs_allpairs
+        return fn(sh)
+
     cases = {
         "simhash_pairs_allpairs_2000": lambda s, d: m.q_simhash_pairs(s, d, cap=2000),
         "simhash_pairs_banded_2000": lambda s, d: m.q_simhash_pairs_banded(s, d, cap=2000),
+        # 64-bit simhash at the full 5000-doc table: 65k-value bands —
+        # candidate volume bounded by true collision mass (the 16-bit
+        # variant's buckets grow as n/16, so all-pairs catches it)
+        "simhash64_pairs_allpairs_5000": lambda s, d: s64(s, d, 5000, banded=False),
+        "simhash64_pairs_banded_5000": lambda s, d: s64(s, d, 5000, banded=True),
         "emb_neardup_allpairs_2000": brute_neardup,
         "ann_lsh_2000": lambda s, d: m.q_ann_lsh(s, d, max_vec=2000),
         "ann_brute_topk_2000": brute_topk,

@@ -297,6 +297,161 @@ SQL_SIMHASH = f"""
     SELECT doc_id, ({_SIMHASH_COMBINE_SQL})::BIGINT AS simhash FROM agg
 """
 
+def q_dedup_simhash64(spark, sf_dir):
+    """64-bit SimHash as four independent 16-bit slices s0..s3, each
+    voted from its own 4-hex-char slice of the token md5 (integer-only ⇒
+    bit-exact across engines).
+
+    WHY 64-bit (r3): banded candidate generation over a 16-bit simhash
+    has only 2^4 = 16 values per 4-bit band, so bucket occupancy grows as
+    n/16 and the candidate count stays quadratic/16 — measured at 5,000
+    docs the all-pairs scan actually beats 16-bit banding. With 64 bits
+    and 16-bit bands there are 65,536 values per band: buckets hold only
+    genuinely-near duplicates and candidate volume is bounded by real
+    collision mass, which is the asymptotic property the 100-TB path
+    needs. Keeping the hash as four 16-bit slice columns (= the band
+    keys) avoids signed-overflow gymnastics in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    md5 = F.md5(F.col("tok"))
+    toks = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(md5, 4 * k + 1, 4), 16, 10).cast("long").alias(f"h{k}")
+            for k in range(4)
+        ],
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col(f"h{k}"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{k}_{j}")
+        for k in range(4)
+        for j in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    slices = []
+    for k in range(4):
+        s = None
+        for j in range(16):
+            bit = F.when(F.col(f"v{k}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            s = bit if s is None else s + bit
+        slices.append(s.cast("long").alias(f"s{k}"))
+    return agg.select("doc_id", *slices)
+
+
+def _simhash64_sql(max_doc: int | None = None) -> str:
+    where = f"WHERE doc_id < {max_doc}" if max_doc is not None else ""
+    hs = ", ".join(
+        f"(('0x' || substr(m, {4 * k + 1}, 4))::UBIGINT)::BIGINT AS h{k}"
+        for k in range(4)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h{k} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}_{j}"
+        for k in range(4) for j in range(16)
+    )
+    slices = ", ".join(
+        "(" + " + ".join(
+            f"CASE WHEN v{k}_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+        ) + f")::BIGINT AS s{k}"
+        for k in range(4)
+    )
+    return f"""
+      SELECT doc_id, {slices} FROM (
+        SELECT doc_id, {votes} FROM (
+          SELECT doc_id::BIGINT AS doc_id, {hs} FROM (
+            SELECT doc_id, md5(tok) AS m FROM (
+              SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents {where}
+            ) WHERE tok <> ''
+          )
+        ) GROUP BY doc_id
+      )"""
+
+
+SQL_SIMHASH64 = _simhash64_sql()
+
+
+def simhash64_pairs_banded(sh, max_hamming: int = 3):
+    """Banded candidates over the 64-bit simhash: each 16-bit slice IS a
+    band key (65,536 values). Pigeonhole: hamming ≤ 3 < 4 bands ⇒ some
+    slice exactly equal — lossless vs the all-pairs scan, candidate
+    volume bounded by true collision mass."""
+    bands = F.array(*[
+        F.struct(F.lit(k).alias("band"), F.col(f"s{k}").alias("bkey"))
+        for k in range(4)
+    ])
+    keyed = sh.select(
+        "doc_id", "s0", "s1", "s2", "s3", F.explode(bands).alias("bk")
+    ).select("doc_id", "s0", "s1", "s2", "s3",
+             F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = keyed.select(
+        F.col("doc_id").alias("a"), "band", "bkey",
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(4)],
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("b"), "band", "bkey",
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(4)],
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", *[f"a{k}" for k in range(4)], *[f"b{k}" for k in range(4)])
+        .distinct()
+    )
+    hamming = None
+    for k in range(4):
+        h = F.expr(f"bit_count(a{k} ^ b{k})")
+        hamming = h if hamming is None else hamming + h
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def simhash64_pairs_allpairs(sh, max_hamming: int = 3):
+    """All-pairs twin (oracle / crossover measurement only)."""
+    a = sh.select(F.col("doc_id").alias("a"),
+                  *[F.col(f"s{k}").alias(f"a{k}") for k in range(4)])
+    b = sh.select(F.col("doc_id").alias("b"),
+                  *[F.col(f"s{k}").alias(f"b{k}") for k in range(4)])
+    hamming = None
+    for k in range(4):
+        h = F.expr(f"bit_count(a{k} ^ b{k})")
+        hamming = h if hamming is None else hamming + h
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def q_simhash64_pairs_banded(spark, sf_dir, cap: int = 300):
+    """PRIMARY 64-bit near-dup pairs (banded equi-join; oracle = the
+    all-pairs SQL below, identical result by pigeonhole)."""
+    sh = q_dedup_simhash64(spark, sf_dir).where(F.col("doc_id") < cap)
+    return simhash64_pairs_banded(sh)
+
+
+_S64_HAMMING_SQL = " + ".join(
+    f"bit_count(xor(x.s{k}, y.s{k}))" for k in range(4)
+)
+
+SQL_SIMHASH64_PAIRS = f"""
+    WITH sh AS ({_simhash64_sql(300)})
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           ({_S64_HAMMING_SQL})::BIGINT AS hamming
+    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+    WHERE ({_S64_HAMMING_SQL}) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # embedding similarity: cosine near-dup + brute-force ANN top-k
 # --------------------------------------------------------------------------
@@ -1318,9 +1473,14 @@ def simhash_pairs_banded(sh, max_hamming: int = 3, n_bands: int = 4,
 
 
 def q_simhash_pairs_banded(spark, sf_dir, cap: int = 200):
-    """Banded SimHash near-dup pairs — equal-by-hash to q_simhash_pairs on
-    the same 200-doc cap (oracle = the same all-pairs SQL), but the plan is
-    the 100-TB one: per-band equi-join, no cross join."""
+    """Banded 16-bit SimHash near-dup pairs — equal-by-hash to
+    q_simhash_pairs on the same 200-doc cap (oracle = the same all-pairs
+    SQL). The plan shape (per-band equi-join, no cross join) is right,
+    but 4-bit bands have only 16 values, so candidate mass is still
+    quadratic/16 — at n=5000 banding leaves 6.5M of 12.5M pairs. The
+    SCALE path is q_simhash64_pairs_banded (65k-value bands → 188k
+    candidates at the same n); this 16-bit variant stays as the compact
+    oracle configuration."""
     sh = q_dedup_simhash(spark, sf_dir).where(F.col("doc_id") < cap)
     return simhash_pairs_banded(sh)
 

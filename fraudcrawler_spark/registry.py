@@ -66,6 +66,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # banded candidate generation — same result set as the all-pairs twin
     # by pigeonhole, so it shares the oracle SQL; the PLAN is the scale one
     "simhash_pairs_banded": (m.q_simhash_pairs_banded, m.SQL_SIMHASH_PAIRS),
+    # 64-bit simhash (r3): 16-bit band keys with 65k values — the
+    # asymptotically-correct near-dup fingerprint (16-bit banding only
+    # divides the quadratic candidate mass by 16)
+    "dedup_simhash64": (m.q_dedup_simhash64, m.SQL_SIMHASH64),
+    "simhash64_pairs_banded": (m.q_simhash64_pairs_banded, m.SQL_SIMHASH64_PAIRS),
 }
 
 

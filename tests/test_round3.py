@@ -331,3 +331,21 @@ def test_spark_submit_py_files_packaging(corpus_dir, tmp_path):
 
     m = json.load(open(manifest))
     assert m["last_round"] >= 1
+
+
+def test_simhash64_banded_lossless_and_no_cartesian(spark, sf_dir):
+    """64-bit simhash banding: pigeonhole-lossless vs all-pairs, and the
+    banded plan contains no CartesianProduct (the 16-bit banding divides
+    quadratic candidate mass by only 16; 16-bit band KEYS give 65k-value
+    buckets — the scale-correct shape)."""
+    from fraudcrawler_spark import conformance_ml as m
+
+    sh = m.q_dedup_simhash64(spark, sf_dir).where(F.col("doc_id") < 300)
+    sh = sh.localCheckpoint()
+    banded = m.simhash64_pairs_banded(sh)
+    allp = m.simhash64_pairs_allpairs(sh)
+    got = {tuple(r) for r in banded.collect()}
+    want = {tuple(r) for r in allp.collect()}
+    assert got == want and len(want) > 0
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
