@@ -349,3 +349,60 @@ def test_simhash64_banded_lossless_and_no_cartesian(spark, sf_dir):
     assert got == want and len(want) > 0
     plan = banded._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_recrawl_ttl_survives_resume(spark, corpus_dir, tmp_path_factory):
+    """TTL × checkpoint/resume: killing the crawl mid-way and resuming
+    must produce the same per-round result sets as the uninterrupted run
+    — the retire/re-claim state (deleted fingerprints + new seen deltas)
+    lives in the round checkpoints."""
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.frontier.crawl import run_crawl
+
+    cfg = CrawlConfig(host_budget=8, max_depth=1, seen_filter_kind="cuckoo",
+                      recrawl_after_rounds=2)
+
+    root_a = str(tmp_path_factory.mktemp("ttl_uninterrupted"))
+    sa = run_crawl(spark, corpus_dir, root_a, cfg, max_rounds=4)
+
+    root_b = str(tmp_path_factory.mktemp("ttl_resumed"))
+    run_crawl(spark, corpus_dir, root_b, cfg, max_rounds=2)   # "crash" here
+    sb = run_crawl(spark, corpus_dir, root_b, cfg, max_rounds=4)  # resume
+
+    last = sa.read_manifest()["last_round"]
+    assert sb.read_manifest()["last_round"] == last
+    for rnd in range(last + 1):
+        ra = {r[0] for r in sa.read("results", rnd).select("url").collect()}
+        rb = {r[0] for r in sb.read("results", rnd).select("url").collect()}
+        assert ra == rb, f"round {rnd} diverged after resume"
+
+
+def test_bpe_properties():
+    """BPE invariants: units rejoin to the exact word; count >= proxy run
+    count; merges never cross word boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fraudcrawler_spark.functions.bpe import bpe_count_py, bpe_units_py
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyzETWS", min_size=0,
+                   max_size=24))
+    def check_word(w):
+        units = bpe_units_py(w)
+        assert "".join(units) == w
+        if w:
+            assert 1 <= len(units) <= len(w)
+
+    check_word()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet="abc XYZ019.,!\n\t-", min_size=0, max_size=80))
+    def check_text(t):
+        import re
+
+        n = bpe_count_py(t)
+        runs = len(re.findall(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]+", t))
+        assert n >= runs  # every run yields >= 1 unit
+
+    check_text()
