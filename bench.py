@@ -148,11 +148,16 @@ def run_scale_paths(sf_dir: str, cpus: int) -> dict[str, float]:
         "ann_ivf_2000": lambda s, d: m.q_ann_ivf(s, d, db_max=2000),
     }
     out: dict[str, float] = {}
-    for name, fn in cases.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        out[name] = round(time.time() - t0, 3)
-    spark.stop()
+    try:
+        for name, fn in cases.items():
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            out[name] = round(time.time() - t0, 3)
+    finally:
+        # a leaked local[cpus] JVM would contaminate the subsequent
+        # subprocess scaling measurements — exactly what the probes exist
+        # to exclude, but self-inflicted
+        spark.stop()
     return out
 
 

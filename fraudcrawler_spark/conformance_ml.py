@@ -604,12 +604,12 @@ def _sql_text_tokens_bpe_real() -> str:
 
     return f"""
     SELECT doc_id::BIGINT AS doc_id,
-           (CASE WHEN n_words = 0 THEN 0
-                 ELSE length(m) - length(replace(m, '|', '')) - n_words END
+           -- every unit carries exactly 2 pipes; COALESCE: string_agg of
+           -- an empty run list is NULL (no letter runs -> 0 units)
+           (COALESCE(length(m) - length(replace(m, '|', '')), 0) // 2
             + n_others)::BIGINT AS n_bpe_real
     FROM (
       SELECT doc_id,
-             len(regexp_extract_all(text, '[a-zA-Z]+', 0)) AS n_words,
              len(regexp_extract_all(text, '[0-9]+|[^\\sa-zA-Z0-9]+', 0)) AS n_others,
              {bpe_merged_sql("text")} AS m
       FROM documents
@@ -974,8 +974,8 @@ def q_ann_ivf(spark, sf_dir, db_max: int = _IVF_DB_MAX):
     argmax-cosine window, update = groupBy(cell, pos).avg, empty cells
     keep their previous centroid. Components and cosines are ROUNDED (4dp)
     so the DuckDB twin reproduces the trajectory exactly. db vectors live
-    in their argmax cell; a query probes only its nprobe=2 nearest cells,
-    and exact cosine runs on those candidates alone.
+    in their argmax cell; a query probes only its nprobe (=_IVF_NPROBE=4)
+    nearest cells, and exact cosine runs on those candidates alone.
 
     100-TB shape: each Lloyd pass is one broadcast join + one (d) window
     shuffle + one (c,pos) aggregation — centroid table is k×dim, always

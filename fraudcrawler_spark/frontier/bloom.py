@@ -37,6 +37,14 @@ from fraudcrawler_spark.config import BLOOM_BITS_PER_KEY, BLOOM_NUM_HASHES
 # Used only on string-API paths (unit tests, ad-hoc callers); the crawl hot
 # path receives the hash as a JVM-computed int64 column.
 # ---------------------------------------------------------------------------
+# Version of the MEMBERSHIP HASH baked into serialized segment bitmaps.
+# v1 = blake2b double-hash (rounds 1-2); v2 = xxhash64 + splitmix64 (r3).
+# Persisted in the crawl manifest and checked on resume: probing a
+# v1-built bitmap with v2 positions yields pervasive false negatives
+# (re-claimed duplicates), so a mismatch must fail loudly, like the
+# partition-layout params already do.
+SEEN_HASH_VERSION = 2
+
 _P1 = 0x9E3779B185EBCA87
 _P2 = 0xC2B2AE3D27D4EB4F
 _P3 = 0x165667B19E3779F9

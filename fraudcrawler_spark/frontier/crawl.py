@@ -32,6 +32,7 @@ from fraudcrawler_spark.config import (
     STAGE_COUNTRY,
     STAGE_DEDUP_PREVIOUS,
 )
+from fraudcrawler_spark.frontier.bloom import SEEN_HASH_VERSION
 from fraudcrawler_spark.frontier.checkpoint import CrawlState
 from fraudcrawler_spark.frontier.politeness import STAGE_ROBOTS, schedule_status
 from fraudcrawler_spark.frontier.seen import SeenStore, with_part
@@ -97,8 +98,41 @@ def init_crawl(
         "seen_partitions": config.seen_partitions,
         "seen_capacity_per_part": config.seen_capacity_per_part,
         "seen_filter_kind": config.seen_filter_kind,
+        # membership-hash algorithm baked into the segment bitmaps —
+        # resume must refuse a mismatch (false negatives otherwise)
+        "seen_hash_version": SEEN_HASH_VERSION,
     })
     return state
+
+
+def _effective_seen(state: CrawlState, upto: int):
+    """The exact seen TABLE as of round ``upto``: union of per-round claim
+    deltas MINUS urls whose last retire is at least as recent as their
+    last claim. With no retires ever written (the default, TTL off) this
+    is the plain delta union — zero extra cost. With TTL on, only the
+    retired url set (small: one expiry round's claims) pays a
+    semi/anti-join resolve; untouched urls pass through un-shuffled."""
+    seen = state.read_all("seen", upto)
+    if seen is None:
+        return None
+    ret = state.read_all("retired", upto)
+    if ret is None:
+        # normalized to (part, url): the store unions per-round (part, url)
+        # deltas onto this in memory
+        return seen.select("part", "url")
+    ret_last = ret.groupBy("url").agg(F.max("retire_round").alias("rr"))
+    contested = (
+        seen.join(ret_last.select("url"), "url", "left_semi")
+        .groupBy("part", "url")
+        .agg(F.max("claim_round").alias("rc"))
+        .join(ret_last, "url")
+        .where(F.col("rc") > F.col("rr"))
+        .select("part", "url")
+    )
+    clean = seen.join(ret_last.select("url"), "url", "left_anti").select(
+        "part", "url"
+    )
+    return clean.unionByName(contested)
 
 
 def _load_seen(spark: SparkSession, state: CrawlState, upto: int,
@@ -115,9 +149,17 @@ def _load_seen(spark: SparkSession, state: CrawlState, upto: int,
     store = SeenStore(spark, partitions=partitions, capacity_per_part=capacity,
                       filter_kind=kind)
     if upto >= 0 and state.exists("bloom", upto):
+        hv = int(manifest.get("seen_hash_version", 1))
+        if hv != SEEN_HASH_VERSION:
+            raise ValueError(
+                f"seen segments were written with membership-hash v{hv}, "
+                f"this engine probes with v{SEEN_HASH_VERSION} — resuming "
+                "would produce false negatives (duplicate claims). "
+                "Restart the crawl (or rebuild the seen store from the "
+                "persisted seen url table)."
+            )
         segs = state.read("bloom", upto)
-        seen = state.read_all("seen", upto)
-        store.load(segs, seen)
+        store.load(segs, _effective_seen(state, upto))
     return store
 
 
@@ -141,17 +183,36 @@ def run_round(
     tick = [time.time()]
     frontier = state.read("frontier", round_no)
 
-    # --- recrawl/TTL: retire urls claimed `recrawl_after_rounds` ago ----------
-    # (cuckoo backend only — SeenStore.retire raises on Bloom). Retired urls
-    # probe filter-negative again, so re-enqueueing them into THIS round's
-    # frontier makes them fetch fresh; their re-claim lands in this round's
-    # seen delta, so they expire again k rounds later (recurring recrawl).
+    # --- recrawl/TTL: retire urls whose LAST claim was `recrawl_after_rounds`
+    # rounds ago (cuckoo backend only — SeenStore.retire raises on Bloom).
+    # Retired urls probe filter-negative again, so re-enqueueing them into
+    # THIS round's frontier makes them fetch fresh; their re-claim lands in
+    # this round's seen delta (with its claim_round), so they expire again k
+    # rounds later (recurring recrawl). The retire is PERSISTED as a
+    # per-round `retired` delta so the round-barrier/resume seen reload can
+    # subtract it (see _effective_seen) — an in-memory-only prune would be
+    # resurrected by the next read_all and could permanently drop a
+    # fingerprint-collision url from recrawl (r3 review finding).
     if config.recrawl_after_rounds is not None:
         er = round_no - config.recrawl_after_rounds
         if er >= 0 and state.exists("seen", er):
-            expired = state.read("seen", er).select("url").distinct().localCheckpoint()
+            cand = state.read("seen", er).select("url").distinct()
+            later = state.read_all("seen", round_no - 1)
+            if later is not None and "claim_round" in later.columns:
+                # urls re-claimed SINCE round er are not due yet
+                cand = cand.join(
+                    later.where(F.col("claim_round") > er).select("url"),
+                    "url", "left_anti",
+                )
+            expired = cand.localCheckpoint()
             if expired.count() > 0:
                 store.retire(expired)
+                state.write(
+                    "retired", round_no,
+                    expired.select("url").withColumn(
+                        "retire_round", F.lit(round_no)),
+                    ncoalesce=1,
+                )
                 refresh = expired.join(
                     frontier.select("url"), "url", "left_anti"
                 ).select(
@@ -198,10 +259,11 @@ def run_round(
     # store.partitions (manifest-adopted), NOT config.seen_partitions — the
     # persisted layout wins over whatever the resuming caller passed
     state.write("seen", round_no, with_part(
-        new_all.select("url"), store.partitions), ncoalesce=8)
+        new_all.select("url"), store.partitions
+    ).withColumn("claim_round", F.lit(round_no)), ncoalesce=8)
     state.write("bloom", round_no, store.segments, ncoalesce=4)
     store.load(state.read("bloom", round_no),
-               state.read_all("seen", round_no))
+               _effective_seen(state, round_no))
     # segment health: max load factor across Bloom segments (>1.0 ⇒ FP
     # rate past design point; exactness unaffected, resize advised)
     fill = store.segments.select(
@@ -370,6 +432,15 @@ def run_crawl(
     tables = read_corpus(spark, corpus_dir)
     start = manifest["last_round"] + 1
     store = _load_seen(spark, state, manifest["last_round"], config)
+    # fail fast, not at round k: retire() requires the deletion-capable
+    # backend, and the ADOPTED kind (manifest wins over config on resume)
+    # is what will actually run
+    if config.recrawl_after_rounds is not None and store.filter_kind != "cuckoo":
+        raise ValueError(
+            "recrawl_after_rounds requires seen_filter_kind='cuckoo' "
+            f"(this state dir is pinned to '{store.filter_kind}'; Bloom "
+            "cannot delete — start a fresh crawl with the cuckoo backend)"
+        )
     for r in range(start, max_rounds):
         if not state.exists("frontier", r):
             break

@@ -6,16 +6,30 @@ trained OFFLINE and deterministically on the synthetic documents corpus
 (seed 42) by scripts/train_bpe_merges.py — no network, no external data —
 classic BPE training (Sennrich et al. 2016) with lexicographic tie-breaks.
 
-Application trick (exact, and pure JVM): a word is pipe-delimited
-(``hello`` → ``|h|e|l|l|o|``) and each merge ``(a, b)`` in training order
-is one ``replace(s, 'a|b', 'ab')``. String replace is greedy
-left-to-right non-overlapping — exactly BPE's within-pass semantics — and
-because a learned pair can never newly FORM after its own pass (merges
-only coarsen; both halves of a pair are created by strictly earlier
-merges), one ordered pass per rule reproduces full iterative BPE. The
-whole tokenizer is therefore a chain of ``F.replace`` Catalyst
-expressions — whole-stage-codegen, zero Python on the hot path — and the
-same chain is expressible as nested ``replace()`` in the DuckDB oracle.
+Application trick (exact, and pure JVM): every unit is FULLY wrapped in
+pipes and units concatenate directly (``hello`` → ``|h||e||l||l||o|``);
+each merge ``(a, b)`` in training order is one
+``replace(s, '|a||b|', '|ab|')``. Three properties make one ordered pass
+per rule EXACTLY iterative BPE:
+
+1. unit-boundary safety: the pattern requires both full units — ``|f||i|``
+   cannot match inside ``|f||in|`` (a naive single-pipe encoding CAN:
+   ``f|i`` is a substring of ``f|in``, which silently merged unit
+   prefixes — caught by review, fixed here);
+2. adjacency: consecutive occurrences share no characters (each match
+   consumes one pipe of each ``||`` pair), so greedy left-to-right
+   ``replace`` merges every non-overlapping occurrence in one pass —
+   the same scan BPE's per-rank pass performs on the unit list;
+3. no re-formation: merges only coarsen units, and both halves of a
+   learned pair are created by strictly earlier merges, so a pair can
+   never newly appear after its own pass.
+
+Words are joined with ``#`` so no merge can straddle a word boundary.
+The whole tokenizer is a chain of ``F.replace`` Catalyst expressions —
+whole-stage-codegen, zero Python on the hot path — and the same chain is
+expressible as nested ``replace()`` in the DuckDB oracle.
+tests/test_round3.py pins the chain against a reference unit-list BPE
+implementation over random words (not just twin-vs-twin equality).
 
 Scope: BPE applies to letter runs ``[a-zA-Z]+`` (case-sensitive, as
 trained); digit runs and punctuation runs count one token each (the
@@ -106,16 +120,21 @@ _OTHER_RUNS = r"[0-9]+|[^\sa-zA-Z0-9]+"
 
 def bpe_units_py(word: str) -> list[str]:
     """Letter-run → BPE units via the same greedy replace chain."""
-    s = "|" + "|".join(word) + "|"
+    if not word:
+        return []
+    s = "".join(f"|{c}|" for c in word)
     for a, b in BPE_MERGES:
-        s = s.replace(f"{a}|{b}", f"{a}{b}")
-    return s.strip("|").split("|") if len(word) else []
+        s = s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+    return s[1:-1].split("||")
 
 
-def bpe_count_py(text: str | None) -> int:
-    """Python twin of ``bpe_count_expr`` (per-text token count)."""
+def bpe_count_py(text: str | None) -> int | None:
+    """Python twin of ``bpe_count_expr``: None for NULL text (the Column
+    and the SQL twin propagate NULL), 0 for empty."""
     import re
 
+    if text is None:
+        return None
     if not text:
         return 0
     letters = re.findall(r"[a-zA-Z]+", text)
@@ -128,35 +147,30 @@ def bpe_count_py(text: str | None) -> int:
 def bpe_count_expr(text: Column) -> Column:
     """Column: real-BPE token count of ``text`` — pure JVM expressions."""
     runs = F.regexp_extract_all(text, F.lit("[a-zA-Z]+"), F.lit(0))
-    n_words = F.size(runs)
-    # per word: '|h|e|l|l|o|'; concatenated words meet as '||' so a merge
-    # pattern 'x|y' can never straddle a word boundary
+    # per word: '|h||e||l||l||o|' (every unit fully wrapped); words joined
+    # with '#' so no merge pattern can straddle a word boundary
     s = F.array_join(
-        F.transform(
-            runs,
-            lambda w: F.concat(F.lit("|"), F.regexp_replace(w, "(.)", "$1|")),
-        ),
-        "",
+        F.transform(runs, lambda w: F.regexp_replace(w, "(.)", "|$1|")),
+        "#",
     )
     for a, b in BPE_MERGES:
-        s = F.replace(s, F.lit(f"{a}|{b}"), F.lit(f"{a}{b}"))
-    # each word carries units+1 pipes → units = pipes - n_words
+        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    # every unit carries exactly 2 pipes → units = pipes / 2
     pipes = F.length(s) - F.length(F.replace(s, F.lit("|"), F.lit("")))
-    letter_units = F.when(n_words == 0, F.lit(0)).otherwise(pipes - n_words)
     others = F.size(F.regexp_extract_all(text, F.lit(_OTHER_RUNS), F.lit(0)))
-    return (letter_units + others).cast("long")
+    return (F.floor(pipes / 2) + others).cast("long")
 
 
 def bpe_merged_sql(text_expr: str = "text") -> str:
     """DuckDB expression: the fully-merged pipe string for ``text_expr``
-    (the same chain as nested replace()); count tokens from it as
-    ``length(m) - length(replace(m,'|','')) - n_words``."""
+    (the same chain as nested replace()); count units from it as
+    ``(length(m) - length(replace(m,'|',''))) / 2``."""
     s = (
         "list_aggregate(list_transform("
         f"regexp_extract_all({text_expr}, '[a-zA-Z]+', 0), "
-        "w -> '|' || regexp_replace(w, '(.)', '\\1|', 'g')), "
-        "'string_agg', '')"
+        "w -> regexp_replace(w, '(.)', '|\\1|', 'g')), "
+        "'string_agg', '#')"
     )
     for a, b in BPE_MERGES:
-        s = f"replace({s}, '{a}|{b}', '{a}{b}')"
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
     return s

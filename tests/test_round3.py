@@ -406,3 +406,65 @@ def test_bpe_properties():
         assert n >= runs  # every run yields >= 1 unit
 
     check_text()
+
+
+def test_bpe_chain_equals_reference_unit_list_bpe():
+    """Review finding (r3): the old single-pipe replace chain matched
+    merge patterns ACROSS unit boundaries ('f|i' inside 'f|in'),
+    producing out-of-vocab units. Pin the fixed fully-wrapped encoding
+    against a reference unit-list BPE (the trainer's apply semantics:
+    rules in rank order, greedy left-to-right per rule) over random and
+    known-adversarial words."""
+    import random
+
+    from fraudcrawler_spark.functions.bpe import BPE_MERGES, bpe_units_py
+
+    def reference_bpe(word):
+        sym = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    adversarial = ["finp", "finish", "aaa", "aaaa", "window", "scanner",
+                   "inin", "erer", "batched", "xinx"]
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    words = adversarial + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 20)))
+        for _ in range(20000)
+    ]
+    for w in words:
+        assert bpe_units_py(w) == reference_bpe(w), f"BPE mismatch on {w!r}"
+
+
+def test_effective_seen_subtracts_retires(spark, tmp_path):
+    """Review finding (r3): retire() pruning must survive the round
+    barrier. _effective_seen: url seen iff last claim round > last retire
+    round — retired-and-not-reclaimed urls are OUT, reclaimed-later urls
+    are IN, untouched urls pass through."""
+    from fraudcrawler_spark.frontier.checkpoint import CrawlState
+    from fraudcrawler_spark.frontier.crawl import _effective_seen
+
+    state = CrawlState(spark, str(tmp_path / "st"))
+    rows0 = [("u_keep", 0, 0), ("u_retired", 1, 0), ("u_reclaimed", 2, 0)]
+    rows2 = [("u_reclaimed", 2, 2)]
+    state.write("seen", 0, spark.createDataFrame(
+        rows0, "url string, part int, claim_round int"))
+    state.write("seen", 2, spark.createDataFrame(
+        rows2, "url string, part int, claim_round int"))
+    state.write("retired", 1, spark.createDataFrame(
+        [("u_retired", 1), ("u_reclaimed", 1)], "url string, retire_round int"))
+
+    got = {r["url"] for r in _effective_seen(state, 2).collect()}
+    assert got == {"u_keep", "u_reclaimed"}
+    # as-of round 1 (before the re-claim) both retirees are out
+    got1 = {r["url"] for r in _effective_seen(state, 1).collect()}
+    assert got1 == {"u_keep"}
