@@ -957,6 +957,124 @@ SQL_ANN_LSH = (
 ).format(maxv=_LSH_MAX_VEC, np=_N_PLANES)
 
 
+_LSH_TABLES = 4        # b independent hash tables
+_LSH_ROWS = 12         # r planes per table → 4096-value buckets per table
+
+
+def q_ann_lsh_multi(spark, sf_dir, max_vec: int = _LSH_MAX_VEC,
+                    n_tables: int = _LSH_TABLES, n_rows: int = _LSH_ROWS):
+    """Multi-table sign-LSH — the production ANN form (Indyk–Motwani
+    amplification): b=4 independent tables of r=12 hyperplanes each;
+    candidates collide when ANY table's full r-bit signature matches.
+    r controls precision (P[collide] = (1−θ/π)^r per table: bucket
+    occupancy bounded by genuine angular-collision mass — a large-r
+    single table has the same bound but vanishing recall), b controls
+    recall (1−(1−p^r)^b). The single-table q_ann_lsh keeps 8 planes as
+    the compact oracle config; this variant is the tunable scale path.
+    Verify is candidate-only (dots exist solely for bucket cohabitants)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < max_vec)
+    ex = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    n_planes = n_tables * n_rows
+    planes = (
+        spark.range(n_planes).select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("pos")))
+        .select(
+            "j", "pos",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
+                                       F.col("pos").cast("string"))), 1, 1
+                    ), 16, 10
+                ).cast("int") < 8,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)).alias("h"),
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("val") * F.col("h")).alias("dot"))
+    )
+    # table t owns planes [t*r, (t+1)*r); signature = r bits within table
+    sigs = (
+        dots.withColumn("tbl", (F.col("j") / F.lit(n_rows)).cast("int"))
+        .withColumn("bit", F.pmod(F.col("j"), F.lit(n_rows)).cast("int"))
+        .groupBy("vec_id", "tbl")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") > 0, F.expr("shiftleft(1, bit)")).otherwise(F.lit(0))
+            ).cast("long").alias("sig")
+        )
+    )
+    a = sigs.select(F.col("vec_id").alias("a"), "tbl", "sig")
+    b = sigs.select(F.col("vec_id").alias("b"), "tbl", "sig")
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
+    )
+    va = ex.select(F.col("vec_id").alias("a"), "pos", F.col("val").alias("va"))
+    vb = ex.select(F.col("vec_id").alias("b"), "pos", F.col("val").alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, ["b", "pos"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        .join(norms.select(F.col("vec_id").alias("a"), F.col("norm").alias("na")), "a")
+        .join(norms.select(F.col("vec_id").alias("b"), F.col("norm").alias("nb")), "b")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cos") >= 0.2)
+        .select("a", "b", "cos")
+    )
+
+
+SQL_ANN_LSH_MULTI = (
+    """
+    WITH ex AS (
+      SELECT vec_id::BIGINT AS vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      WHERE vec_id < {maxv}
+    ),
+    planes AS (
+      SELECT j::INT AS j, pos::INT AS pos,
+             CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || pos::VARCHAR), 1, 1))::UBIGINT < 8
+                  THEN 1.0 ELSE -1.0 END AS h
+      FROM range(0, {np}) AS a(j), range(0, 64) AS b(pos)
+    ),
+    dots AS (
+      SELECT vec_id, j, SUM(val * h) AS dot
+      FROM ex JOIN planes USING (pos)
+      GROUP BY vec_id, j
+    ),
+    sigs AS (
+      SELECT vec_id, (j // {nr})::INT AS tbl,
+             SUM(CASE WHEN dot > 0 THEN (1 << (j % {nr})) ELSE 0 END)::BIGINT AS sig
+      FROM dots GROUP BY vec_id, (j // {nr})::INT
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM sigs x JOIN sigs y USING (tbl, sig)
+      WHERE x.vec_id < y.vec_id
+    ),
+    cosres AS (
+    """
+    + _PAIR_COS_SQL.format(a_max=_LSH_MAX_VEC, b_min=0, b_max=_LSH_MAX_VEC)
+    + """
+    )
+    SELECT a, b, cos FROM cand JOIN cosres USING (a, b)
+    WHERE cos >= 0.2
+    """
+).format(maxv=_LSH_MAX_VEC, np=_LSH_TABLES * _LSH_ROWS, nr=_LSH_ROWS)
+
+
 _IVF_NC = 8        # coarse centroids: vec_id < 8 (deterministic quantizer)
 _IVF_DB_MIN, _IVF_DB_MAX = 8, 300
 _IVF_Q_MIN, _IVF_Q_MAX = 300, 305

@@ -53,6 +53,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_langid": (m.q_text_langid, m.SQL_TEXT_LANGID),
     "multimodal_meta": (m.q_multimodal_meta, m.SQL_MULTIMODAL_META),
     "ann_lsh": (m.q_ann_lsh, m.SQL_ANN_LSH),
+    # multi-table amplified LSH (r3): b=4 tables × r=12 planes — the
+    # tunable-recall production form; verify candidate-only
+    "ann_lsh_multi": (m.q_ann_lsh_multi, m.SQL_ANN_LSH_MULTI),
     "ann_ivf": (m.q_ann_ivf, m.SQL_ANN_IVF),
     "corpus_prep": (m.q_corpus_prep, m.SQL_CORPUS_PREP),
     "events_window_agg": (m.q_events_window_agg, m.SQL_EVENTS_WINDOW),

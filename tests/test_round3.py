@@ -468,3 +468,38 @@ def test_effective_seen_subtracts_retires(spark, tmp_path):
     # as-of round 1 (before the re-claim) both retirees are out
     got1 = {r["url"] for r in _effective_seen(state, 1).collect()}
     assert got1 == {"u_keep"}
+
+
+def test_lsh_multi_table_amplification(spark, tmp_path):
+    """Multi-table LSH (b=4 × r=12) must recall more planted near-dup
+    pairs than the single 8-plane table — the Indyk–Motwani amplification
+    the production path exists for. Planted pairs: 50 noisy copies at
+    cos ≈ 0.995 (per-plane agreement p ≈ 0.97 ⇒ expected recall ≈
+    p^8 ≈ 0.77 single-table vs 1-(1-p^12)^4 ≈ 0.99 multi)."""
+    import numpy as np
+    import pandas as pd
+
+    from fraudcrawler_spark import conformance_ml as m
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(150, 64))
+    noisy = base[:50] + 0.07 * rng.normal(size=(50, 64))
+    vecs = np.vstack([base, noisy]).astype("float32")
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(200, dtype="int64"),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+
+    planted = {(i, 150 + i) for i in range(50)}
+    single = {(r["a"], r["b"]) for r in m.q_ann_lsh(spark, d, max_vec=200).collect()}
+    multi = {(r["a"], r["b"]) for r in m.q_ann_lsh_multi(spark, d, max_vec=200).collect()}
+    rec_s = len(single & planted) / len(planted)
+    rec_m = len(multi & planted) / len(planted)
+    print(f"planted-pair recall: single8={rec_s:.2f} multi4x12={rec_m:.2f}")
+    assert rec_m >= 0.9
+    assert rec_m >= rec_s
