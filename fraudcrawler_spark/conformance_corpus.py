@@ -1,0 +1,319 @@
+"""Round-3 corpus-governance operators for the training-data pipeline:
+benchmark decontamination, PII detection/scrubbing, duplicate-passage
+dedup, and per-source corpus statistics.
+
+Each query has a DuckDB ANSI-SQL twin (driver oracle). All operators are
+expressed as declarative DataFrame plans — no Python UDFs anywhere in
+this module — so every one survives 100 TB: per-row expressions stay in
+whole-stage codegen, and the only shuffles are equi-joins / hash
+aggregations on bounded keys.
+
+The synthetic `documents` table is a 31-word vocabulary with 10-99
+tokens per doc, so gram size k=3 is used at test scale to produce
+statistically meaningful overlap (31^3 ≈ 30k possible grams vs ~25k gram
+positions at sf0.01). Production would use k=8..13 (Brown et al. 2020
+use 13-gram decontamination; Lee et al. 2021 "Deduplicating Training
+Data" use 50-token substrings) — the PLAN (explode → distinct →
+equi-join → aggregate) is identical, only the literal changes.
+
+Reference parity: the reference crawler has no corpus-governance stage
+(it stops at per-listing CSV export, src/fraudcrawler/base/client.py);
+these operators are the SURVEY.md §6 "training-data pipeline" extension
+mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fraudcrawler_spark.conformance_ml import _t
+
+_GRAM_K = 3  # test-scale gram size; production 8-13 (same plan)
+
+
+def _gram_array(toks, n):
+    """Array of k=3 word grams from a materialized token-array column.
+
+    `toks` must be a real column (not an inline split expression):
+    Catalyst performs no CSE through higher-order-function lambdas, so an
+    inline split would be re-evaluated once per element.
+    """
+    return F.when(
+        n >= _GRAM_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (_GRAM_K - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _tokenized_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    return docs.withColumn("n", F.size("toks"))
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (gram overlap vs a held-out eval split)
+# --------------------------------------------------------------------------
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs whose k-gram overlap
+    with the eval split exceeds 5% (GPT-3 appendix C / PaLM-style).
+
+    The eval split is `doc_id % 97 == 0` (deterministic stand-in for a
+    benchmark table). Plan: distinct grams per doc (one shuffle), eval
+    grams broadcast into the overlap join (eval sets are tiny vs the
+    corpus — a few MB of grams for any real benchmark suite, so the
+    broadcast holds at 100 TB of training docs), then one hash
+    aggregation per doc. No all-pairs stage anywhere.
+    """
+    docs = _tokenized_docs(spark, sf_dir)
+    grams = (
+        docs.select("doc_id", F.explode(_gram_array(F.col("toks"), F.col("n"))).alias("g"))
+        .distinct()
+    )
+    eval_g = (
+        grams.filter(F.pmod("doc_id", F.lit(97)) == 0).select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_g = grams.filter(F.pmod("doc_id", F.lit(97)) != 0)
+    joined = train_g.join(F.broadcast(eval_g), "g", "left")
+    frac = F.round(F.sum("hit") / F.count(F.lit(1)), 4)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce(frac, F.lit(0.0)).alias("contamination_frac"),
+            (F.coalesce(frac, F.lit(0.0)) > 0.05).alias("flagged"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT
+  tr.doc_id,
+  COUNT(*) AS n_grams,
+  CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  ROUND(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        / COUNT(*), 4) AS contamination_frac,
+  ROUND(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        / COUNT(*), 4) > 0.05 AS flagged
+FROM tr LEFT JOIN ev USING (g)
+GROUP BY tr.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII detection + scrubbing
+# --------------------------------------------------------------------------
+
+_RE_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_RE_PHONE = r"\b555-[0-9]{4}\b"
+_RE_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _pii_text_expr():
+    """Deterministic PII injection (the synthetic corpus contains none):
+    every 7th doc gains an email, every 11th a phone, every 13th an IP —
+    composable, so doc 0 carries all three. Mirrored byte-for-byte in
+    the SQL twin."""
+    did = F.col("doc_id")
+    email = F.when(
+        F.pmod(did, F.lit(7)) == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.pmod(did, F.lit(11)) == 0,
+        F.concat(F.lit(" call 555-"), F.lpad(F.pmod(did, F.lit(10000)).cast("string"), 4, "0"), F.lit(" today")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.pmod(did, F.lit(13)) == 0,
+        F.concat(F.lit(" from 192.168."), F.pmod(did, F.lit(256)).cast("string"), F.lit(".1")),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+_PII_TEXT_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.' || (doc_id % 256) || '.1' ELSE '' END"
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + scrubbing: count emails / phone numbers / IPs per
+    doc and mask them with typed placeholders. Pure per-row regex
+    expressions (whole-stage codegen, zero shuffles) — the canonical
+    pre-training scrub stage, trivially scale-free.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.withColumn("pt", _pii_text_expr())
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pt"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE, "<PHONE>",
+        ),
+        _RE_IP, "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("pt"), F.lit(_RE_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("pt"), F.lit(_RE_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("pt"), F.lit(_RE_IP)).cast("long").alias("n_ips"),
+        F.md5(scrubbed).alias("scrub_hash"),
+        (
+            F.regexp_count(F.col("pt"), F.lit(_RE_EMAIL))
+            + F.regexp_count(F.col("pt"), F.lit(_RE_PHONE))
+            + F.regexp_count(F.col("pt"), F.lit(_RE_IP))
+            > 0
+        ).alias("has_pii"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH pii AS (
+  SELECT doc_id, {_PII_TEXT_SQL} AS pt FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(pt, '{_RE_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(pt, '{_RE_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(pt, '{_RE_IP}')) AS BIGINT) AS n_ips,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(pt, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+        '{_RE_PHONE}', '<PHONE>', 'g'),
+      '{_RE_IP}', '<IP>', 'g')
+  ) AS scrub_hash,
+  len(regexp_extract_all(pt, '{_RE_EMAIL}'))
+    + len(regexp_extract_all(pt, '{_RE_PHONE}'))
+    + len(regexp_extract_all(pt, '{_RE_IP}')) > 0 AS has_pii
+FROM pii
+"""
+
+
+# --------------------------------------------------------------------------
+# duplicate-passage dedup (Lee et al. 2021 exact-substring family)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_passage(spark, sf_dir):
+    """Duplicate-passage fraction: for every k-gram POSITION in a doc,
+    is that passage present in any other doc? Docs above 50% duplicated
+    passages are near-dup flagged.
+
+    Plan: explode positions → hash-aggregate gram → distinct-doc count
+    (one shuffle, map-side partial), join counts back on the gram key
+    (equi-join — at 100 TB both sides partition by gram hash, AQE handles
+    the Zipf head), final per-doc aggregation. This is the scalable
+    shape of exact-substring dedup: never all-pairs, never a suffix
+    array on one node.
+    """
+    docs = _tokenized_docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(_gram_array(F.col("toks"), F.col("n"))).alias("g")
+    )
+    df_per_g = grams.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    joined = grams.join(df_per_g, "g")
+    dup = (F.col("nd") > 1).cast("int")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(dup).cast("long").alias("n_dup_passages"),
+        F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac"),
+        (F.round(F.sum(dup) / F.count(F.lit(1)), 4) > 0.5).alias("near_dup"),
+    )
+
+
+SQL_DEDUP_PASSAGE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+df AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+)
+SELECT
+  grams.doc_id,
+  COUNT(*) AS n_passages,
+  CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_passages,
+  ROUND(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+    AS dup_frac,
+  ROUND(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+    > 0.5 AS near_dup
+FROM grams JOIN df USING (g)
+GROUP BY grams.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# per-source corpus statistics (C4-style corpus report)
+# --------------------------------------------------------------------------
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-(source, lang) corpus report: doc count, total whitespace
+    tokens, mean chars, exact interpolated median and p90 chars. One
+    hash aggregation with map-side partials — the classic corpus
+    accounting query; `percentile` is Spark's exact linear-interpolation
+    percentile, matching DuckDB's quantile_cont.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("ntok"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90_chars"),
+        )
+    )
+
+
+SQL_CORPUS_STATS = """
+SELECT
+  source,
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  ROUND(AVG(n_chars), 2) AS avg_chars,
+  ROUND(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+  ROUND(quantile_cont(n_chars, 0.9), 2) AS p90_chars
+FROM documents
+GROUP BY source, lang
+"""

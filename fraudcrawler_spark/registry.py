@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraudcrawler_spark import conformance as c
+from fraudcrawler_spark import conformance_corpus as cc
 from fraudcrawler_spark import conformance_ml as m
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -74,6 +75,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # divides the quadratic candidate mass by 16)
     "dedup_simhash64": (m.q_dedup_simhash64, m.SQL_SIMHASH64),
     "simhash64_pairs_banded": (m.q_simhash64_pairs_banded, m.SQL_SIMHASH64_PAIRS),
+    # corpus-governance stage (r3): decontamination, PII scrub,
+    # duplicate-passage dedup, per-source stats — conformance_corpus.py
+    "decontaminate": (cc.q_decontaminate, cc.SQL_DECONTAMINATE),
+    "pii_scrub": (cc.q_pii_scrub, cc.SQL_PII_SCRUB),
+    "dedup_passage": (cc.q_dedup_passage, cc.SQL_DEDUP_PASSAGE),
+    "corpus_stats": (cc.q_corpus_stats, cc.SQL_CORPUS_STATS),
 }
 
 
