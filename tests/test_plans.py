@@ -139,3 +139,49 @@ def test_pricing_partial_agg_and_pruning(spark, sf_dir):
     # scan reads only the 5 needed columns of 11
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and len(m.group(1).split(",")) == 5, m.group(1) if m else p[:300]
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_decontaminate
+
+    p = _plan(spark, q_decontaminate(spark, sf_dir))
+    # the eval-split gram set rides a broadcast into the overlap join —
+    # at 100 TB the benchmark suite is MBs while the train side is the
+    # corpus; a shuffle join here would exchange every train gram twice
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # zero Python in the gram pipeline
+    assert "EvalPython" not in p
+
+
+def test_pii_scrub_is_shuffle_free_jvm(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_pii_scrub
+
+    p = _plan(spark, q_pii_scrub(spark, sf_dir))
+    # per-row regex stage: no exchange, no Python — pure codegen scan
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+    # only doc_id and text leave the scan
+    schemas = re.findall(r"ReadSchema: (\S+)", p)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas)
+
+
+def test_dedup_passage_no_cartesian_no_python(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_dedup_passage
+
+    p = _plan(spark, q_dedup_passage(spark, sf_dir))
+    # gram-key equi-join + hash aggregations only — the exact-substring
+    # family must never degenerate to an all-pairs comparison
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_corpus_stats_partial_aggregation(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_corpus_stats
+
+    p = _plan(spark, q_corpus_stats(spark, sf_dir))
+    # map-side partials before the single (source,lang) exchange:
+    # count/sum/avg combine locally; exact percentiles ride ObjectHashAggregate
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "partial_percentile" in p  # percentiles combine map-side too
