@@ -1,0 +1,240 @@
+"""Graph operators for the crawl/dedup pipeline: near-dup cluster
+resolution (connected components), link-graph priority (PageRank), and
+a salted skew-safe aggregation.
+
+Why these belong in this engine: near-dup PAIR generation (minhash/
+simhash, conformance_ml.py) is only half of dedup — turning pairs into
+clusters and electing one canonical doc per cluster is a connected-
+components problem; and the reference's priority frontier
+(orchestrator.py:525-626 stage barriers; our frontier/politeness.py)
+is the natural consumer of a link-graph rank score. Both are iterative
+algorithms expressed as pure DataFrame joins/aggregations — the
+Pregel-lite pattern — with exact SQL twins (recursive CTE / unrolled
+iterations) so the driver oracle still value-checks them.
+
+Deterministic edge sets are derived arithmetically from doc_id (the
+synthetic documents table has no link column); the derivation is
+mirrored in the SQL twins. The PLANS are edge-set-agnostic: swap in the
+minhash-LSH pair output or real href edges and nothing changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fraudcrawler_spark.conformance_ml import _t
+
+# --------------------------------------------------------------------------
+# connected components → dedup clusters
+# --------------------------------------------------------------------------
+
+_CC_ITERS = 8  # test-scale diameter bound (chains of 7 ⇒ diameter 6)
+
+
+def _chain_edges(docs):
+    """Symmetric edge set: doc d ↔ d-1 unless d % 7 == 0 — chains of
+    length ≤7, so components are {7k..7k+6}. Chains (not stars) force
+    real multi-round propagation."""
+    e = docs.where(F.pmod("doc_id", F.lit(7)) != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: connected components by iterative
+    min-label propagation, then canonical-doc election (min doc_id) and
+    cluster size.
+
+    Plan per iteration: one equi-join (edge.dst = label.doc_id) + one
+    hash aggregation — the Pregel-lite shape. Label lineage is truncated
+    every 4 iterations (localCheckpoint) so the DAG stays flat. At test
+    scale the iteration count is a fixed diameter bound (8 ≥ chain
+    diameter 6, deterministic, no per-iteration convergence action);
+    production runs the alternating large-star/small-star algorithm
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") which converges in O(log n) rounds on any graph — the
+    per-round plan is identical, only the edge rewrite differs.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = _chain_edges(docs)
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    for i in range(_CC_ITERS):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(F.col("src").alias("doc_id"), "lbl")
+        labels = (
+            labels.unionByName(prop).groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
+        )
+        if i % 4 == 3:
+            labels = labels.localCheckpoint()
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            "doc_id",
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+        )
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id - 1 AS src, doc_id AS dst FROM documents WHERE doc_id % 7 <> 0
+),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.src AS doc_id, r.lbl
+  FROM reach r JOIN e ON e.dst = r.doc_id
+),
+comp AS (
+  SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT
+  comp.doc_id,
+  comp.cluster_id,
+  sizes.cluster_size,
+  comp.doc_id = comp.cluster_id AS is_canonical
+FROM comp JOIN sizes USING (cluster_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# PageRank link priority (2 unrolled iterations)
+# --------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+
+
+def q_pagerank_priority(spark, sf_dir):
+    """Link-graph priority for the frontier: two PageRank iterations
+    (damping 0.85) over a deterministic 2-out-regular link graph, rank
+    reported scaled by N (so values are O(1) and stable under 4-decimal
+    rounding).
+
+    Plan per iteration: contribution = rank/out_degree shipped along
+    edges (equi-join on src), then a hash aggregation on dst — map-side
+    partials bound the shuffle by the edge partition count. Out-degrees
+    are computed once. This is the standard Spark PageRank shape; at
+    100 TB the edge table partitions by src-hash and AQE coalesces the
+    skewed-in-degree tail. Every graph op here is oracle-checked by the
+    unrolled SQL twin.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # metadata-cheap count; N parameterizes the twin
+    e1 = docs.select(
+        "doc_id", F.pmod(F.col("doc_id") * 7 + 3, F.lit(n)).alias("dst")
+    )
+    e2 = docs.select(
+        "doc_id", F.pmod(F.col("doc_id") * 13 + 5, F.lit(n)).alias("dst")
+    )
+    edges = e1.unionByName(e2).select(F.col("doc_id").alias("src"), "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = docs.select("doc_id", (F.lit(1.0) / n).alias("pr"))
+    for _ in range(2):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            docs.join(inflow.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit((1.0 - _PR_DAMP) / n)
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(
+        "doc_id", F.round(F.col("pr") * n, 4).alias("pr_scaled")
+    )
+
+
+SQL_PAGERANK = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM n) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 13 + 5) % (SELECT n FROM n) AS dst FROM documents
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM n) AS pr FROM documents),
+i1 AS (
+  SELECT e.dst AS doc_id, SUM(r0.pr / deg.deg) AS s
+  FROM e JOIN deg USING (src) JOIN r0 ON r0.doc_id = e.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT d.doc_id,
+         0.15 / (SELECT n FROM n) + 0.85 * COALESCE(i1.s, 0) AS pr
+  FROM documents d LEFT JOIN i1 USING (doc_id)
+),
+i2 AS (
+  SELECT e.dst AS doc_id, SUM(r1.pr / deg.deg) AS s
+  FROM e JOIN deg USING (src) JOIN r1 ON r1.doc_id = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT d.doc_id,
+         0.15 / (SELECT n FROM n) + 0.85 * COALESCE(i2.s, 0) AS pr
+  FROM documents d LEFT JOIN i2 USING (doc_id)
+)
+SELECT doc_id, ROUND(pr * (SELECT n FROM n), 4) AS pr_scaled FROM r2
+"""
+
+
+# --------------------------------------------------------------------------
+# salted skew-safe aggregation
+# --------------------------------------------------------------------------
+
+_SALT_SHARDS = 16
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation: partial totals on
+    (source, salt) — 16 shards per group key — then final totals on
+    source. Result-identical to a direct GROUP BY (the oracle proves
+    it); the point is the PLAN: a Zipf-head group key never lands its
+    entire mass on one reducer, because phase 1 spreads each hot key
+    over 16 reduce partitions and phase 2 only merges 16 partial rows
+    per key. Same salting discipline the politeness scheduler applies
+    to hot hosts (frontier/politeness.py salt_shards).
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(_SALT_SHARDS)).alias("salt"),
+        "n_chars",
+    )
+    partial = docs.groupBy("source", "salt").agg(
+        F.count(F.lit(1)).alias("pc"), F.sum("n_chars").alias("ps")
+    )
+    return partial.groupBy("source").agg(
+        F.sum("pc").cast("long").alias("n_docs"),
+        F.sum("ps").cast("long").alias("total_chars"),
+        F.round(F.sum("ps") / F.sum("pc"), 4).alias("avg_chars"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 4) AS avg_chars
+FROM documents
+GROUP BY source
+"""

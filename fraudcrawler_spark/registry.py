@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from fraudcrawler_spark import conformance as c
 from fraudcrawler_spark import conformance_corpus as cc
+from fraudcrawler_spark import conformance_graph as cg
 from fraudcrawler_spark import conformance_ml as m
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -81,6 +82,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pii_scrub": (cc.q_pii_scrub, cc.SQL_PII_SCRUB),
     "dedup_passage": (cc.q_dedup_passage, cc.SQL_DEDUP_PASSAGE),
     "corpus_stats": (cc.q_corpus_stats, cc.SQL_CORPUS_STATS),
+    # graph stage (r3): near-dup clusters (connected components, recursive-
+    # CTE twin), PageRank frontier priority (unrolled twin), salted
+    # skew-safe agg — conformance_graph.py
+    "dedup_clusters": (cg.q_dedup_clusters, cg.SQL_DEDUP_CLUSTERS),
+    "pagerank_priority": (cg.q_pagerank_priority, cg.SQL_PAGERANK),
+    "salted_agg": (cg.q_salted_agg, cg.SQL_SALTED_AGG),
 }
 
 

@@ -185,3 +185,34 @@ def test_corpus_stats_partial_aggregation(spark, sf_dir):
     # count/sum/avg combine locally; exact percentiles ride ObjectHashAggregate
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "partial_percentile" in p  # percentiles combine map-side too
+
+
+def test_dedup_clusters_pregel_lite_shape(spark, sf_dir):
+    from fraudcrawler_spark.conformance_graph import q_dedup_clusters
+
+    p = _plan(spark, q_dedup_clusters(spark, sf_dir))
+    # iterative min-label propagation stays equi-join + hash-agg — no
+    # cartesian blowup, no Python, lineage truncated by checkpoints
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_pagerank_partial_inflow_agg(spark, sf_dir):
+    from fraudcrawler_spark.conformance_graph import q_pagerank_priority
+
+    p = _plan(spark, q_pagerank_priority(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    # inflow sums combine map-side before the dst exchange
+    assert "partial_sum" in p
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    from fraudcrawler_spark.conformance_graph import q_salted_agg
+
+    p = _plan(spark, q_salted_agg(spark, sf_dir))
+    # phase 1 reduces on (source, salt), phase 2 on source — a hot key is
+    # spread over 16 reducers before the 16-rows-per-key final merge
+    assert re.search(r"hashpartitioning\(source[^)]*salt", p)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
