@@ -54,6 +54,11 @@ HEADLINE = [
     "ann_topk",
     "text_quality",
     "frontier_order",
+    # r3 corpus-governance + graph stages
+    "dedup_passage",
+    "decontaminate",
+    "pagerank_priority",
+    "dedup_clusters",
     # rows-only composites (fixed in r2: map flattened for the driver canon)
     "crawl_pipeline",
     "crawl_frontier_round",
