@@ -1,0 +1,216 @@
+"""Training-mix construction operators: deterministic stratified
+sampling, train/val/test split assignment, shard shuffling, and
+sequence packing.
+
+These are the last mile of a 100-TB webtext pipeline: after dedup /
+quality / decontamination (conformance_ml.py, conformance_corpus.py)
+the surviving corpus must be sampled to a target mixture, split,
+shuffled into training shards, and packed into fixed-length contexts.
+
+Everything here is HASH-based, not RNG-based: `rand()` sampling is
+irreproducible across retries/partitionings (a re-run re-samples), while
+`h(doc_id) % K` is a pure column expression — the same doc always lands
+in the same sample/split/shard on any cluster size, any retry, any
+engine. That determinism is also what makes the DuckDB twins exact: the
+shared hash is the repo's established cross-engine idiom
+(first-8-hex-chars of md5 as a 32-bit uniform integer).
+
+Plans: per-row hash expressions (whole-stage codegen) plus, for
+shuffle/packing, one window per shard — shards are the partition key,
+so 100 TB parallelizes across the shard count with no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fraudcrawler_spark.conformance_ml import _t
+
+_N_SHARDS = 16  # test-scale; production 2^16 shards, same plan
+_CTX_TOKENS = 256  # test-scale context length (docs are 10-99 tokens)
+
+
+def _h32(col):
+    """Shared cross-engine 32-bit uniform hash (md5 hex prefix)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_H32_SQL = "(('0x' || substr(md5({x}), 1, 8))::UBIGINT)::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# stratified sampling to a target language mixture
+# --------------------------------------------------------------------------
+
+_LANG_PCT = {"en": 800, "de": 500}  # per-mille keep rates; default 250
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample to a target language mixture:
+    keep 80% of en, 50% of de, 25% of everything else, by hash gate
+    `h('samp:'||doc_id) % 1000 < rate`. Pure per-row filter — no
+    shuffle, no RNG, retry-stable, and the complement set (the rejected
+    docs) is recoverable by flipping the inequality.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    gate = F.pmod(
+        _h32(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), F.lit(1000)
+    )
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(_LANG_PCT["en"]))
+        .when(F.col("lang") == "de", F.lit(_LANG_PCT["de"]))
+        .otherwise(F.lit(250))
+    )
+    return docs.select(
+        "doc_id", "lang", "source", rate.alias("keep_per_mille")
+    ).where(gate < rate)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH g AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN lang = 'en' THEN 800
+              WHEN lang = 'de' THEN 500
+              ELSE 250 END AS keep_per_mille,
+         {_H32_SQL.format(x="'samp:' || doc_id::VARCHAR")} % 1000 AS gate
+  FROM documents
+)
+SELECT doc_id, lang, source, keep_per_mille
+FROM g WHERE gate < keep_per_mille
+"""
+
+
+# --------------------------------------------------------------------------
+# train/val/test split assignment
+# --------------------------------------------------------------------------
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by hash bucket.
+    A doc's split never changes with corpus growth, resampling, or
+    cluster size — the property leakage-safe eval requires (and rand()
+    cannot give).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    b = F.pmod(
+        _h32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    return docs.select(
+        "doc_id",
+        b.alias("bucket_pct"),
+        F.when(b < 90, F.lit("train"))
+        .when(b < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+SQL_SPLIT_ASSIGN = f"""
+WITH g AS (
+  SELECT doc_id,
+         {_H32_SQL.format(x="'split:' || doc_id::VARCHAR")} % 100 AS bucket_pct
+  FROM documents
+)
+SELECT doc_id, bucket_pct,
+       CASE WHEN bucket_pct < 90 THEN 'train'
+            WHEN bucket_pct < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# shard shuffle (deterministic pseudo-random training order)
+# --------------------------------------------------------------------------
+
+
+def _sharded(docs):
+    h = _h32(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    return docs.withColumn("h", h).withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(_N_SHARDS))
+    )
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Shuffle the corpus into N training shards with a deterministic
+    pseudo-random within-shard order: shard = h % N, position =
+    row_number over (shard, ORDER BY h, doc_id). The window partitions
+    on shard — at 2^16 production shards each holds ~corpus/65536 docs,
+    so no task ever sees a global sort; this is exactly the "global
+    shuffle" a data loader needs, without ever materializing a global
+    permutation.
+    """
+    docs = _sharded(_t(spark, sf_dir, "documents").select("doc_id"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return docs.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+SQL_CORPUS_SHUFFLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         {_H32_SQL.format(x="'shuf:' || doc_id::VARCHAR")} AS h
+  FROM documents
+)
+SELECT doc_id, h % {_N_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id)
+            AS INTEGER) AS pos
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing into fixed-length contexts
+# --------------------------------------------------------------------------
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Pack the shuffled shard order into fixed-length training contexts
+    (context = 256 tokens at test scale): a running token cumsum per
+    shard assigns each doc the context it STARTS in (seq_id =
+    cum_before / CTX) and its offset within it — the boundary-agnostic
+    contiguous layout (docs straddle context edges, as GPT-style
+    pretraining packs them). One cumsum window per shard, same
+    partitioning as the shuffle — the two stages share one exchange at
+    execution time.
+    """
+    docs = _sharded(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.size(F.split("text", " ")).alias("ntok")
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("ntok").over(w) - F.col("ntok")).alias("cum_before")
+    out = docs.select("doc_id", "shard", "ntok", cum_before)
+    return out.select(
+        "doc_id",
+        "shard",
+        F.col("ntok").cast("long").alias("ntok"),
+        F.floor(F.col("cum_before") / _CTX_TOKENS).cast("long").alias("seq_id"),
+        F.pmod(F.col("cum_before"), F.lit(_CTX_TOKENS)).cast("long").alias("seq_offset"),
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH g AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+         {_H32_SQL.format(x="'shuf:' || doc_id::VARCHAR")} AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, h % {_N_SHARDS} AS shard, ntok,
+         SUM(ntok) OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING) - ntok AS cum_before
+  FROM g
+)
+SELECT doc_id, shard, CAST(ntok AS BIGINT) AS ntok,
+       CAST(FLOOR(cum_before / {_CTX_TOKENS}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {_CTX_TOKENS} AS BIGINT) AS seq_offset
+FROM c
+"""

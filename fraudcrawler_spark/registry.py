@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from fraudcrawler_spark import conformance as c
 from fraudcrawler_spark import conformance_corpus as cc
 from fraudcrawler_spark import conformance_graph as cg
+from fraudcrawler_spark import conformance_mix as cx
 from fraudcrawler_spark import conformance_ml as m
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -88,6 +89,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (cg.q_dedup_clusters, cg.SQL_DEDUP_CLUSTERS),
     "pagerank_priority": (cg.q_pagerank_priority, cg.SQL_PAGERANK),
     "salted_agg": (cg.q_salted_agg, cg.SQL_SALTED_AGG),
+    # training-mix stage (r3): hash-deterministic sampling / splitting /
+    # shard shuffle / sequence packing — conformance_mix.py
+    "stratified_sample": (cx.q_stratified_sample, cx.SQL_STRATIFIED_SAMPLE),
+    "split_assign": (cx.q_split_assign, cx.SQL_SPLIT_ASSIGN),
+    "corpus_shuffle": (cx.q_corpus_shuffle, cx.SQL_CORPUS_SHUFFLE),
+    "sequence_pack": (cx.q_sequence_pack, cx.SQL_SEQUENCE_PACK),
 }
 
 

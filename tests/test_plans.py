@@ -216,3 +216,27 @@ def test_salted_agg_two_phase(spark, sf_dir):
     # spread over 16 reducers before the 16-rows-per-key final merge
     assert re.search(r"hashpartitioning\(source[^)]*salt", p)
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+def test_sampling_and_split_shuffle_free(spark, sf_dir):
+    from fraudcrawler_spark.conformance_mix import q_split_assign, q_stratified_sample
+
+    for q in (q_stratified_sample, q_split_assign):
+        p = _plan(spark, q(spark, sf_dir))
+        # hash-gate sampling/splitting is a pure codegen filter/project —
+        # zero exchanges, zero Python, retry-stable by construction
+        assert "Exchange" not in p, q.__name__
+        assert "EvalPython" not in p, q.__name__
+
+
+def test_shuffle_and_pack_partition_by_shard(spark, sf_dir):
+    from fraudcrawler_spark.conformance_mix import q_corpus_shuffle, q_sequence_pack
+
+    for q in (q_corpus_shuffle, q_sequence_pack):
+        p = _plan(spark, q(spark, sf_dir))
+        # one exchange on the shard key; the order window runs inside each
+        # shard partition — never a global sort of the corpus
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, q.__name__
+        specs = re.findall(r"windowspecdefinition\((\w+)", p)
+        assert specs and all(s.startswith("shard") for s in specs), (q.__name__, specs)
+        assert "EvalPython" not in p, q.__name__
