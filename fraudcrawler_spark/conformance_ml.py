@@ -1622,3 +1622,61 @@ SQL_SIMHASH_PAIRS = f"""
     WHERE x.doc_id < y.doc_id
       AND bit_count(xor(x.simhash, y.simhash)) <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization (r3)
+# --------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-dimension symmetric int8 quantization of the embedding table
+    with reconstruction-error accounting: scale_d = max|v_d| over the
+    corpus, q = floor(v*127/scale + 0.5), and per-vector MSE / max-err
+    of the dequantized values (reported in ppm / per-mille units so the
+    4-decimal driver rounding keeps resolution).
+
+    The compression step ANN quantized indexes start from (the IVF
+    counterpart of q_ann_ivf; FAISS IVF-SQ8). Plan: one (pos) hash agg
+    for the 64 per-dim scales, broadcast back onto the exploded values,
+    one (vec_id) agg for the error metrics — all JVM, scales linearly
+    in corpus size.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    sc = ex.groupBy("pos").agg(
+        F.greatest(F.max(F.abs("val")), F.lit(1e-12)).alias("scale")
+    )
+    j = ex.join(F.broadcast(sc), "pos")
+    deq = (
+        F.floor(F.col("val") * 127.0 / F.col("scale") + 0.5)
+        * F.col("scale") / 127.0
+    )
+    err = F.col("val") - deq
+    return j.groupBy("vec_id").agg(
+        F.round(F.avg(err * err) * 1_000_000, 4).alias("mse_ppm"),
+        F.round(F.max(F.abs(err)) * 1000, 4).alias("max_err_pm"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH ex AS (
+  SELECT vec_id::BIGINT AS vec_id, i AS pos, embedding[i]::DOUBLE AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+sc AS (
+  SELECT pos, GREATEST(MAX(ABS(val)), 1e-12) AS scale FROM ex GROUP BY pos
+),
+q AS (
+  SELECT vec_id, val,
+         FLOOR(val * 127.0 / scale + 0.5) * scale / 127.0 AS deq
+  FROM ex JOIN sc USING (pos)
+)
+SELECT vec_id,
+       ROUND(AVG((val - deq) * (val - deq)) * 1000000, 4) AS mse_ppm,
+       ROUND(MAX(ABS(val - deq)) * 1000, 4) AS max_err_pm
+FROM q GROUP BY vec_id
+"""

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from fraudcrawler_spark import conformance as c
 from fraudcrawler_spark import conformance_corpus as cc
+from fraudcrawler_spark import conformance_events as ce
 from fraudcrawler_spark import conformance_graph as cg
 from fraudcrawler_spark import conformance_mix as cx
 from fraudcrawler_spark import conformance_ml as m
@@ -91,6 +92,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "salted_agg": (cg.q_salted_agg, cg.SQL_SALTED_AGG),
     # training-mix stage (r3): hash-deterministic sampling / splitting /
     # shard shuffle / sequence packing — conformance_mix.py
+    # event-stream batch ops (r3): sessionization + as-of join —
+    # conformance_events.py; int8 quantization — conformance_ml.py
+    "sessionize": (ce.q_sessionize, ce.SQL_SESSIONIZE),
+    "asof_join": (ce.q_asof_join, ce.SQL_ASOF_JOIN),
+    "embedding_quantize": (m.q_embedding_quantize, m.SQL_EMBEDDING_QUANTIZE),
     "stratified_sample": (cx.q_stratified_sample, cx.SQL_STRATIFIED_SAMPLE),
     "split_assign": (cx.q_split_assign, cx.SQL_SPLIT_ASSIGN),
     "corpus_shuffle": (cx.q_corpus_shuffle, cx.SQL_CORPUS_SHUFFLE),

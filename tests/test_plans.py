@@ -240,3 +240,38 @@ def test_shuffle_and_pack_partition_by_shard(spark, sf_dir):
         specs = re.findall(r"windowspecdefinition\((\w+)", p)
         assert specs and all(s.startswith("shard") for s in specs), (q.__name__, specs)
         assert "EvalPython" not in p, q.__name__
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    from fraudcrawler_spark.conformance_events import q_sessionize
+
+    p = _plan(spark, q_sessionize(spark, sf_dir))
+    # lag + running-sum share one (user_id) exchange, and the final
+    # (user_id, session_no) aggregation reuses it (user_id partitioning
+    # already co-locates every session) — one shuffle end to end
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "EvalPython" not in p
+
+
+def test_asof_join_union_carry_forward(spark, sf_dir):
+    from fraudcrawler_spark.conformance_events import q_asof_join
+
+    p = _plan(spark, q_asof_join(spark, sf_dir))
+    # the as-of is ONE union + ONE key exchange + ONE ordered window —
+    # never an inequality join (range explosion) or a cartesian
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Union" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_embedding_quantize_broadcast_scales(spark, sf_dir):
+    from fraudcrawler_spark.conformance_ml import q_embedding_quantize
+
+    p = _plan(spark, q_embedding_quantize(spark, sf_dir))
+    # the 64-row per-dim scale table broadcasts back onto the exploded
+    # values; only the two hash aggregations shuffle
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
