@@ -23,6 +23,9 @@ cannot carry bucket specs.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -37,6 +40,15 @@ def write_bucketed(
     """Persist ``df`` as a bucketed+sorted parquet table in the session
     catalog. ``n_buckets`` should match the cluster's target parallelism
     for the join stage (one task per bucket on the bucketed side)."""
+    # the in-memory catalog dies with the session but the managed
+    # LOCATION under spark.sql.warehouse.dir does not: a fresh session
+    # that re-creates the table would hit LOCATION_ALREADY_EXISTS, so
+    # drop both the (possibly unknown) table and any orphaned directory
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, *bucket_cols)

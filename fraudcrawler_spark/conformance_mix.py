@@ -214,3 +214,76 @@ SELECT doc_id, shard, CAST(ntok AS BIGINT) AS ntok,
        CAST(cum_before % {_CTX_TOKENS} AS BIGINT) AS seq_offset
 FROM c
 """
+
+
+# --------------------------------------------------------------------------
+# flagship composite: prepared corpus → training shards
+# --------------------------------------------------------------------------
+
+
+def q_corpus_to_shards(spark, sf_dir):
+    """The full corpus-to-training-data DAG in one plan: corpus_prep
+    (exact dedup → quality+Gopher gates → language filter,
+    conformance_ml.q_corpus_prep) → train-split selection (hash bucket
+    < 90) → shard shuffle → sequence packing. What a 100-TB webtext
+    job actually ships: every stage reuses the individually-oracled
+    operator, and the whole chain costs the prep's shuffles plus ONE
+    shard exchange (row_number and the token cumsum share the same
+    window partitioning).
+    """
+    from fraudcrawler_spark.conformance_ml import q_corpus_prep
+
+    kept = q_corpus_prep(spark, sf_dir).select("doc_id", "n_tokens")
+    b = F.pmod(
+        _h32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    h = _h32(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    tr = (
+        kept.withColumn("bucket", b)
+        .where(F.col("bucket") < 90)
+        .withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(_N_SHARDS)))
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_before = F.sum("n_tokens").over(wsum) - F.col("n_tokens")
+    return tr.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        F.col("n_tokens").alias("ntok"),
+        F.floor(cum_before / _CTX_TOKENS).cast("long").alias("seq_id"),
+        F.pmod(cum_before, F.lit(_CTX_TOKENS)).cast("long").alias("seq_offset"),
+    )
+
+
+def _sql_corpus_to_shards() -> str:
+    from fraudcrawler_spark.conformance_ml import SQL_CORPUS_PREP
+
+    return f"""
+WITH prep AS (
+  SELECT doc_id, n_tokens FROM ({SQL_CORPUS_PREP}) q
+),
+sp AS (
+  SELECT doc_id, n_tokens,
+         {_H32_SQL.format(x="'split:' || doc_id::VARCHAR")} % 100 AS bucket,
+         {_H32_SQL.format(x="'shuf:' || doc_id::VARCHAR")} AS h
+  FROM prep
+),
+tr AS (SELECT * FROM sp WHERE bucket < 90),
+c AS (
+  SELECT doc_id, h % {_N_SHARDS} AS shard, n_tokens, h,
+         SUM(n_tokens) OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before,
+         CAST(ROW_NUMBER() OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id)
+              AS INTEGER) AS pos
+  FROM tr
+)
+SELECT doc_id, shard, pos, CAST(n_tokens AS BIGINT) AS ntok,
+       CAST(FLOOR(cum_before / {_CTX_TOKENS}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {_CTX_TOKENS} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+SQL_CORPUS_TO_SHARDS = _sql_corpus_to_shards()

@@ -101,6 +101,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "split_assign": (cx.q_split_assign, cx.SQL_SPLIT_ASSIGN),
     "corpus_shuffle": (cx.q_corpus_shuffle, cx.SQL_CORPUS_SHUFFLE),
     "sequence_pack": (cx.q_sequence_pack, cx.SQL_SEQUENCE_PACK),
+    # flagship composite: prepared corpus → train split → shards → packed
+    # contexts, every stage reusing an individually-oracled operator
+    "corpus_to_shards": (cx.q_corpus_to_shards, cx.SQL_CORPUS_TO_SHARDS),
 }
 
 

@@ -275,3 +275,16 @@ def test_embedding_quantize_broadcast_scales(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_corpus_to_shards_single_shard_window(spark, sf_dir):
+    from fraudcrawler_spark.conformance_mix import q_corpus_to_shards
+
+    p = _plan(spark, q_corpus_to_shards(spark, sf_dir))
+    # row_number and the token cumsum share the shard window; beyond the
+    # prep stages the composite adds exactly one shard exchange and no
+    # Python anywhere
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    specs = re.findall(r"windowspecdefinition\((\w+)", p)
+    assert specs and sum(s.startswith("shard") for s in specs) >= 2, specs
