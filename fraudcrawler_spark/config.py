@@ -95,5 +95,12 @@ class CrawlConfig:
     # store and re-enqueued (requires seen_filter_kind='cuckoo' — the
     # deletion-capable backend; Bloom refuses). None = never recrawl.
     recrawl_after_rounds: int | None = None
+    # frontier priority: "depth" (BFS, reference-faithful — golden traces
+    # use this) or "indegree" (depth-major, in-link-count-minor: within a
+    # depth level, heavily-linked pages schedule first — the cheap static
+    # approximation of link-graph priority; the full PageRank operator is
+    # conformance_graph.q_pagerank_priority). Keep the mode fixed across
+    # resume: it parameterizes frontier ORDER, like host_budget.
+    priority_mode: str = "depth"
     salt_shards: int = HOST_SALT_SHARDS
     prompts: tuple[Prompt, ...] = field(default_factory=tuple)

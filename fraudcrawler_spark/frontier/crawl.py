@@ -339,15 +339,24 @@ def run_round(
     dropped = raw_expanded.where(F.col("link_status") == "excluded")
     expanded = raw_expanded.where(F.col("link_status") == "ok")
 
-    candidates = (
-        expanded.groupBy("url")
-        .agg(
-            F.first("host").alias("host"),
-            F.min("crawl_depth").alias("crawl_depth"),
-            F.min("src_url").alias("src_url"),
-        )
-        .withColumn("priority", F.col("crawl_depth"))
+    candidates = expanded.groupBy("url").agg(
+        F.first("host").alias("host"),
+        F.min("crawl_depth").alias("crawl_depth"),
+        F.min("src_url").alias("src_url"),
+        F.count(F.lit(1)).alias("_n_inlinks"),
     )
+    if config.priority_mode == "indegree":
+        # depth-major, inlink-minor: same BFS frontier, but within a depth
+        # level the most-linked pages consume the politeness budget first
+        # (in-degree is already in hand from the dedup groupBy — zero
+        # extra jobs). Capped at 999 so the depth bands never overlap.
+        prio = (
+            F.col("crawl_depth") * 1000
+            - F.least(F.col("_n_inlinks"), F.lit(999))
+        ).cast("int")
+    else:
+        prio = F.col("crawl_depth")
+    candidates = candidates.withColumn("priority", prio).drop("_n_inlinks")
     # candidates are unique by construction (groupBy url above) — skip the
     # probe's defensive distinct shuffle
     fresh = candidates.join(

@@ -503,3 +503,42 @@ def test_lsh_multi_table_amplification(spark, tmp_path):
     print(f"planted-pair recall: single8={rec_s:.2f} multi4x12={rec_m:.2f}")
     assert rec_m >= 0.9
     assert rec_m >= rec_s
+
+
+def test_indegree_priority_mode(spark, corpus_dir, tmp_path_factory):
+    """priority_mode='indegree': within a depth band, heavily-linked pages
+    get lower (earlier) priority; the frontier stays depth-major."""
+    from pyspark.sql import functions as F
+
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.frontier.crawl import run_crawl
+
+    root = str(tmp_path_factory.mktemp("indeg_state"))
+    cfg = CrawlConfig(host_budget=4, max_depth=2, priority_mode="indegree")
+    state = run_crawl(spark, corpus_dir, root, cfg, max_rounds=2)
+
+    f1 = state.read("frontier", 1).select("priority", "crawl_depth").collect()
+    assert f1
+    cands = [r for r in f1 if r["crawl_depth"] >= 1]
+    assert cands, "round 0 must enqueue depth-1 candidates"
+    for r in cands:
+        # priority lives in the depth band [d*1000-999, d*1000-1]
+        lo, hi = r["crawl_depth"] * 1000 - 999, r["crawl_depth"] * 1000 - 1
+        assert lo <= r["priority"] <= hi, (r["priority"], r["crawl_depth"])
+    # deferred seed rows (depth 0) keep their original priority 0
+    for r in f1:
+        if r["crawl_depth"] == 0:
+            assert r["priority"] == 0
+    # the corpus link graph has skewed in-degrees — the mode must actually
+    # differentiate (not collapse to one priority per depth)
+    by_depth = {}
+    for r in cands:
+        by_depth.setdefault(r["crawl_depth"], set()).add(r["priority"])
+    assert any(len(v) > 1 for v in by_depth.values()), by_depth
+
+    # depth mode (default) is untouched: priorities equal crawl_depth
+    root2 = str(tmp_path_factory.mktemp("depth_state"))
+    state2 = run_crawl(spark, corpus_dir, root2,
+                       CrawlConfig(host_budget=4, max_depth=2), max_rounds=2)
+    f2 = state2.read("frontier", 1)
+    assert f2.where(F.col("priority") != F.col("crawl_depth")).count() == 0
