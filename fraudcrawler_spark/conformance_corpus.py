@@ -317,3 +317,50 @@ SELECT
 FROM documents
 GROUP BY source, lang
 """
+
+
+# --------------------------------------------------------------------------
+# URL normalization (tracking-param strip + param sort)
+# --------------------------------------------------------------------------
+
+
+def q_url_normalize(spark, sf_dir):
+    """Full URL normalization for frontier dedup: scheme/www/fragment
+    canonicalization + tracking-parameter removal (utm_*, gclid, ...) +
+    query-parameter sorting, via functions.urls.normalize_url_expr (all
+    JVM array ops, hot-path safe).
+
+    The oracle is ANALYTIC, not a SQL re-implementation: raw urls are
+    synthesized deterministically from doc_id (www + shuffled params +
+    two tracking params), and the twin CONSTRUCTS the expected
+    normalized form directly — so the test proves the normalizer's
+    output contract, not just twin-consistency.
+    """
+    from fraudcrawler_spark.functions.urls import normalize_url_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("https://www.shop"), F.pmod("doc_id", F.lit(20)).cast("string"),
+        F.lit(".ch/p/"), ds,
+        F.lit("?utm_source=x&b=2&a=1&gclid="), ds,
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("&z=9")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    return d.select(
+        "doc_id", raw.alias("raw_url"), normalize_url_expr(raw).alias("url_norm")
+    )
+
+
+SQL_URL_NORMALIZE = """
+SELECT
+  doc_id,
+  'https://www.shop' || (doc_id % 20) || '.ch/p/' || doc_id
+    || '?utm_source=x&b=2&a=1&gclid=' || doc_id
+    || CASE WHEN doc_id % 3 = 0 THEN '&z=9' ELSE '' END
+    || '#frag' AS raw_url,
+  'https://shop' || (doc_id % 20) || '.ch/p/' || doc_id
+    || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2&z=9' ELSE '?a=1&b=2' END
+    AS url_norm
+FROM documents
+"""

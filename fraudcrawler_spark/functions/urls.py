@@ -113,3 +113,51 @@ def _ref_get_domain(url: str) -> str:
 def canonical_host_udf(urls: pd.Series) -> pd.Series:
     """Arrow-batched kernel; byte parity with reference serp.py:50-74."""
     return urls.map(_ref_get_domain)
+
+
+_TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|dclid|igshid|mc_eid|ref"
+    r"|sessionid|phpsessid|jsessionid|sid)="
+)
+
+
+def normalize_url_expr(url: Column) -> Column:
+    """Full frontier URL normalizer: ``canonical_url_expr`` (scheme/www/
+    fragment/userinfo) + tracking-parameter removal + query-parameter
+    SORTING — the dedup-critical canonicalization a real crawler needs:
+    ``?b=2&a=1&utm_source=x`` and ``?a=1&b=2`` are the same resource and
+    must collapse to one seen-set entry.
+
+    All JVM expressions (split / filter / array_sort / concat_ws) — no
+    Python, no UDF; safe in the per-round hot path. Kept SEPARATE from
+    ``canonical_url_expr`` (whose output must keep matching the stored
+    ``pages.url`` form for the fetch equi-join and the reference golden
+    traces, reference uses host-only canonicalization — serp.py).
+    """
+    base = canonical_url_expr(url)
+    path = F.regexp_extract(base, r"^([^?]*)", 1)
+    query = F.regexp_extract(base, r"^[^?]*\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~F.lower(p).rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(
+        (query == "") | (F.size(kept) == 0), path
+    ).otherwise(F.concat(path, F.lit("?"), F.concat_ws("&", kept)))
+
+
+def normalize_url_py(url: str) -> str:
+    """Python twin of ``normalize_url_expr`` (simulator/tests)."""
+    import re
+
+    base = canonical_url_py(url)
+    if "?" not in base:
+        return base
+    path, query = base.split("?", 1)
+    kept = sorted(
+        p for p in query.split("&")
+        if p != "" and not re.match(_TRACKING_PARAM_RE, p.lower())
+    )
+    return path if not kept else path + "?" + "&".join(kept)

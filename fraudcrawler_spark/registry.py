@@ -84,6 +84,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pii_scrub": (cc.q_pii_scrub, cc.SQL_PII_SCRUB),
     "dedup_passage": (cc.q_dedup_passage, cc.SQL_DEDUP_PASSAGE),
     "corpus_stats": (cc.q_corpus_stats, cc.SQL_CORPUS_STATS),
+    # analytic oracle: the twin CONSTRUCTS the expected normalized url
+    "url_normalize": (cc.q_url_normalize, cc.SQL_URL_NORMALIZE),
     # graph stage (r3): near-dup clusters (connected components, recursive-
     # CTE twin), PageRank frontier priority (unrolled twin), salted
     # skew-safe agg — conformance_graph.py

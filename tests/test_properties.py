@@ -124,3 +124,38 @@ def test_dedup_no_unflagged_dup_property(spark, corpus_dir):
         out.where(~F.col("filtered")).groupBy("url").count().where(F.col("count") > 1)
     )
     assert dup_unflagged.count() == 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(url_texts)
+def test_normalize_url_idempotent(u):
+    """normalize_url(normalize_url(u)) == normalize_url(u): param sort
+    and tracking-strip are stable under re-application."""
+    from fraudcrawler_spark.functions.urls import normalize_url_py
+
+    n = normalize_url_py(u)
+    assert normalize_url_py(n) == n
+
+
+def test_normalize_url_expr_matches_py(spark):
+    """The JVM expression and the Python twin agree byte-for-byte on a
+    param-heavy url set (including &-ordering, tracking params, empty
+    params, fragments, and no-query urls)."""
+    from pyspark.sql import functions as F
+
+    from fraudcrawler_spark.functions.urls import normalize_url_expr, normalize_url_py
+
+    urls = [
+        "https://www.a.ch/p?b=2&a=1&utm_source=x",
+        "http://A.CH/p?utm_campaign=q&gclid=1",
+        "https://a.ch/p?z=1&&y=2#frag",
+        "https://a.ch/p",
+        "https://a.ch/p?UTM_SOURCE=caps&a=1",
+        "https://www.a.ch/?sessionid=9",
+        "not a url at all",
+        "https://a.ch/p?a=1&a=0",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    got = {r["u"]: r["n"] for r in df.select("u", normalize_url_expr(F.col("u")).alias("n")).collect()}
+    for u in urls:
+        assert got[u] == normalize_url_py(u), (u, got[u], normalize_url_py(u))
