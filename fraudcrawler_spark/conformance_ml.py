@@ -1680,3 +1680,133 @@ SELECT vec_id,
        ROUND(MAX(ABS(val - deq)) * 1000, 4) AS max_err_pm
 FROM q GROUP BY vec_id
 """
+
+
+# --------------------------------------------------------------------------
+# unigram LM perplexity filtering (CCNet-style) (r3)
+# --------------------------------------------------------------------------
+
+
+def q_perplexity_score(spark, sf_dir):
+    """Unigram-LM perplexity scoring — the CCNet/RedPajama quality-filter
+    family (Wenzek et al. 2020 score documents with a KenLM model; the
+    unigram LM is its exact-arithmetic, SQL-twinnable core): train token
+    frequencies over the corpus (one hash agg), score each doc by the
+    mean negative log-probability of its tokens, report nll and
+    perplexity = exp(nll).
+
+    Plan: one vocab aggregation, the frequency table broadcast back onto
+    the exploded tokens (web-scale vocab beyond broadcast range falls
+    back to a token-key equi-join — same result), one per-doc agg. In a
+    real pipeline docs above a ppl threshold (gibberish) and far below
+    it (boilerplate) are both cut.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    nll = F.avg(-F.log(F.col("cnt") / F.col("n")))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(nll, 4).alias("nll"),
+            F.round(F.exp(nll), 2).alias("ppl"),
+        )
+    )
+
+
+SQL_PERPLEXITY = """
+WITH tok AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+freq AS (SELECT t, COUNT(*)::DOUBLE AS cnt FROM tok GROUP BY t),
+tot AS (SELECT SUM(cnt) AS n FROM freq)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-ln(cnt / (SELECT n FROM tot))), 4) AS nll,
+       ROUND(EXP(AVG(-ln(cnt / (SELECT n FROM tot)))), 2) AS ppl
+FROM tok JOIN freq USING (t)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# incremental cross-corpus dedup (new crawl vs existing training set) (r3)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_incremental(spark, sf_dir, max_doc: int = 300):
+    """Incremental dedup: flag INCOMING docs (doc_id odd — the new crawl
+    batch) that near-duplicate any BASE doc (doc_id even — the existing
+    training corpus), via the same MinHash band signatures as
+    q_dedup_minhash_lsh but joined ACROSS the two corpora only — the
+    production shape of dedup-before-ingest: the base side's signatures
+    are precomputed once and the per-batch cost is one band-signature
+    equi-join, never a base×base or batch×batch comparison.
+    """
+    sh = _shingles(spark, sf_dir, max_doc)
+    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    sig = (
+        sh.crossJoin(F.broadcast(bands))
+        .select(
+            "doc_id", "band",
+            F.md5(
+                F.concat(F.col("shingle"), F.lit("#"), F.col("band").cast("string"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+    base = sig.where(F.pmod("doc_id", F.lit(2)) == 0).select(
+        F.col("doc_id").alias("base_doc"), "band", "sig"
+    )
+    inc = sig.where(F.pmod("doc_id", F.lit(2)) == 1)
+    matches = (
+        inc.join(base, ["band", "sig"])
+        .select("doc_id", "base_doc")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_base_matches"),
+            F.min("base_doc").alias("first_match"),
+        )
+    )
+    incoming = inc.select("doc_id").distinct()
+    return (
+        incoming.join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_base_matches", F.lit(0)).cast("long").alias("n_base_matches"),
+            "first_match",
+            (F.coalesce("n_base_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+    WITH sh AS ({_SHINGLES_SQL.format(max_doc=300)}),
+    sig AS (
+      SELECT doc_id, band, MIN(md5(shingle || '#' || band::VARCHAR)) AS sig
+      FROM sh, (SELECT UNNEST([0,1,2,3]) AS band)
+      GROUP BY doc_id, band
+    ),
+    m AS (
+      SELECT i.doc_id, COUNT(DISTINCT b.doc_id) AS n_base_matches,
+             MIN(b.doc_id) AS first_match
+      FROM sig i JOIN sig b USING (band, sig)
+      WHERE i.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY i.doc_id
+    ),
+    inc AS (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 2 = 1)
+    SELECT inc.doc_id,
+           CAST(COALESCE(m.n_base_matches, 0) AS BIGINT) AS n_base_matches,
+           m.first_match,
+           COALESCE(m.n_base_matches, 0) > 0 AS is_dup
+    FROM inc LEFT JOIN m USING (doc_id)
+"""

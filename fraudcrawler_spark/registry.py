@@ -96,6 +96,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # shard shuffle / sequence packing — conformance_mix.py
     # event-stream batch ops (r3): sessionization + as-of join —
     # conformance_events.py; int8 quantization — conformance_ml.py
+    # CCNet-style LM quality filter + dedup-before-ingest (r3)
+    "perplexity_score": (m.q_perplexity_score, m.SQL_PERPLEXITY),
+    "dedup_incremental": (m.q_dedup_incremental, m.SQL_DEDUP_INCREMENTAL),
     "sessionize": (ce.q_sessionize, ce.SQL_SESSIONIZE),
     "asof_join": (ce.q_asof_join, ce.SQL_ASOF_JOIN),
     "embedding_quantize": (m.q_embedding_quantize, m.SQL_EMBEDDING_QUANTIZE),

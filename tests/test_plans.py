@@ -288,3 +288,23 @@ def test_corpus_to_shards_single_shard_window(spark, sf_dir):
     assert "EvalPython" not in p
     specs = re.findall(r"windowspecdefinition\((\w+)", p)
     assert specs and sum(s.startswith("shard") for s in specs) >= 2, specs
+
+
+def test_perplexity_broadcast_freq(spark, sf_dir):
+    from fraudcrawler_spark.conformance_ml import q_perplexity_score
+
+    p = _plan(spark, q_perplexity_score(spark, sf_dir))
+    # the vocab frequency table broadcasts back onto the exploded tokens
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_dedup_incremental_cross_corpus_only(spark, sf_dir):
+    from fraudcrawler_spark.conformance_ml import q_dedup_incremental
+
+    p = _plan(spark, q_dedup_incremental(spark, sf_dir))
+    # candidate generation is a band-signature equi-join between the two
+    # corpora — never an all-pairs scan
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
