@@ -92,16 +92,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (cg.q_dedup_clusters, cg.SQL_DEDUP_CLUSTERS),
     "pagerank_priority": (cg.q_pagerank_priority, cg.SQL_PAGERANK),
     "salted_agg": (cg.q_salted_agg, cg.SQL_SALTED_AGG),
-    # training-mix stage (r3): hash-deterministic sampling / splitting /
-    # shard shuffle / sequence packing — conformance_mix.py
-    # event-stream batch ops (r3): sessionization + as-of join —
-    # conformance_events.py; int8 quantization — conformance_ml.py
     # CCNet-style LM quality filter + dedup-before-ingest (r3)
     "perplexity_score": (m.q_perplexity_score, m.SQL_PERPLEXITY),
     "dedup_incremental": (m.q_dedup_incremental, m.SQL_DEDUP_INCREMENTAL),
+    # event-stream batch ops (r3): sessionization + as-of join —
+    # conformance_events.py; int8 quantization — conformance_ml.py
     "sessionize": (ce.q_sessionize, ce.SQL_SESSIONIZE),
     "asof_join": (ce.q_asof_join, ce.SQL_ASOF_JOIN),
     "embedding_quantize": (m.q_embedding_quantize, m.SQL_EMBEDDING_QUANTIZE),
+    # training-mix stage (r3): hash-deterministic sampling / splitting /
+    # shard shuffle / sequence packing — conformance_mix.py
     "stratified_sample": (cx.q_stratified_sample, cx.SQL_STRATIFIED_SAMPLE),
     "split_assign": (cx.q_split_assign, cx.SQL_SPLIT_ASSIGN),
     "corpus_shuffle": (cx.q_corpus_shuffle, cx.SQL_CORPUS_SHUFFLE),
@@ -466,6 +466,74 @@ SELECT url, host, 0 AS priority, 0 AS crawl_depth,
   -1 AS is_relevant, 0 AS round
 FROM pf
 """
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over the crawl corpus: every <a> tag's
+    (href, text) pair, href canonicalized with the engine's
+    canonical_url_expr, aggregated per TARGET url — in-link count,
+    distinct referring pages, and a deterministic representative anchor
+    text. The link-graph labeling signal (anchor text is how the web
+    describes a page it links to — the classic ranking/labeling input).
+
+    Plan: regexp_extract_all twice + zip_with (arrays stay aligned
+    in-row), one explode, one hash agg on the target key. The SQL twin
+    canonicalizes analytically ('https://' + strip scheme/www — exact
+    for the corpus href shapes; the full parser contract is pinned
+    separately by `url_normalize`).
+    """
+    import os
+
+    from fraudcrawler_spark.functions.urls import (
+        canonical_host_expr,
+        canonical_url_expr,
+    )
+
+    pages = spark.read.parquet(os.path.join(_crawl_corpus(), "pages.parquet"))
+    s = F.col("html").cast("string")
+    hrefs = F.regexp_extract_all(s, F.lit(r'<a href="([^"]*)"[^>]*>'), 1)
+    texts = F.regexp_extract_all(s, F.lit(r'<a href="[^"]*"[^>]*>([^<]*)</a>'), 1)
+    pairs = F.zip_with(
+        hrefs, texts, lambda h, t: F.struct(h.alias("href"), t.alias("txt"))
+    )
+    e = pages.select(
+        F.col("url").alias("src_url"), F.explode(pairs).alias("z")
+    ).select(
+        "src_url",
+        canonical_url_expr(F.col("z.href")).alias("target"),
+        F.col("z.txt").alias("txt"),
+    )
+    return e.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.count_distinct("src_url").cast("long").alias("n_src_pages"),
+        F.min("txt").alias("top_anchor"),
+    )
+
+
+SQL_ANCHOR_TEXT = rf"""
+WITH p AS (
+  SELECT url AS src_url, decode(html) AS s
+  FROM read_parquet('{_D}/pages.parquet')
+),
+z AS (
+  SELECT src_url, unnest(list_zip(
+    regexp_extract_all(s, '<a href="([^"]*)"[^>]*>', 1),
+    regexp_extract_all(s, '<a href="[^"]*"[^>]*>([^<]*)</a>', 1))) AS u
+  FROM p
+),
+e AS (
+  SELECT src_url,
+         'https://' || regexp_replace(u[1], '^(?:https?://)?(?:www\.)?', '')
+           AS target,
+         u[2] AS txt
+  FROM z
+)
+SELECT target, COUNT(*) AS n_anchors,
+       COUNT(DISTINCT src_url) AS n_src_pages,
+       MIN(txt) AS top_anchor
+FROM e GROUP BY target
+"""
+
+REGISTRY["anchor_text_agg"] = (q_anchor_text_agg, SQL_ANCHOR_TEXT)
 
 REGISTRY["crawl_pipeline"] = (q_crawl_pipeline, SQL_CRAWL_PIPELINE)
 REGISTRY["crawl_frontier_round"] = (q_crawl_frontier_round, SQL_CRAWL_ROUND)

@@ -308,3 +308,12 @@ def test_dedup_incremental_cross_corpus_only(spark, sf_dir):
     # corpora — never an all-pairs scan
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_anchor_text_agg_single_agg_no_python(spark, sf_dir):
+    from fraudcrawler_spark.registry import q_anchor_text_agg
+
+    p = _plan(spark, q_anchor_text_agg(spark, sf_dir))
+    # regexp extraction + zip_with stay in-row; one hash agg on target
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
