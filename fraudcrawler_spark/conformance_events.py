@@ -153,3 +153,106 @@ SELECT event_id, k AS user_id, asof_orderkey,
        asof_orderkey IS NOT NULL AS has_order
 FROM w WHERE tag = 1
 """
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel per user: first `view`, first `click`
+    strictly after it, first `purchase` strictly after that. Stage
+    timestamps are conditional-min aggregations; each stage joins its
+    predecessor back on user_id — three hash aggs + two equi-joins, all
+    on the same user key (one logical partitioning end to end, reused
+    by AQE). The standard product-analytics funnel, exactly the shape a
+    100-TB clickstream uses (user key partitioning, no window over the
+    full event stream).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("tus").alias("t_view")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("tus") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("tus") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t_view").isNotNull().alias("viewed"),
+            F.col("t_click").isNotNull().alias("clicked_after_view"),
+            F.col("t_purchase").isNotNull().alias("purchased_after_click"),
+        )
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+v AS (SELECT user_id, MIN(tus) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(tus) AS t_click
+      FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND tus > t_view GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(tus) AS t_purchase
+      FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND tus > t_click GROUP BY ev.user_id)
+SELECT u.user_id,
+       v.t_view IS NOT NULL AS viewed,
+       c.t_click IS NOT NULL AS clicked_after_view,
+       p.t_purchase IS NOT NULL AS purchased_after_click
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later active day by day-offset. Two hash aggregations (first
+    day per user; distinct user-days) joined on the user key, then the
+    (cohort_day, day_offset) rollup — the canonical retention query,
+    linear in events with no window over the stream.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = ev.select("user_id", "d").distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("d", F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, d FROM ev)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset
+"""

@@ -99,6 +99,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # conformance_events.py; int8 quantization — conformance_ml.py
     "sessionize": (ce.q_sessionize, ce.SQL_SESSIONIZE),
     "asof_join": (ce.q_asof_join, ce.SQL_ASOF_JOIN),
+    "event_funnel": (ce.q_event_funnel, ce.SQL_EVENT_FUNNEL),
+    "cohort_retention": (ce.q_cohort_retention, ce.SQL_COHORT_RETENTION),
     "embedding_quantize": (m.q_embedding_quantize, m.SQL_EMBEDDING_QUANTIZE),
     # training-mix stage (r3): hash-deterministic sampling / splitting /
     # shard shuffle / sequence packing — conformance_mix.py

@@ -317,3 +317,18 @@ def test_anchor_text_agg_single_agg_no_python(spark, sf_dir):
     # regexp extraction + zip_with stay in-row; one hash agg on target
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_event_funnel_and_cohort_no_python_no_cartesian(spark, sf_dir):
+    from fraudcrawler_spark.conformance_events import (
+        q_cohort_retention,
+        q_event_funnel,
+    )
+
+    for q in (q_event_funnel, q_cohort_retention):
+        p = _plan(spark, q(spark, sf_dir))
+        # user-key equi-joins + hash aggs only; no window over the stream
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BroadcastNestedLoopJoin" not in p, q.__name__
+        assert "EvalPython" not in p, q.__name__
+        assert "WindowExec" not in p, q.__name__
