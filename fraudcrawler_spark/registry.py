@@ -537,5 +537,84 @@ FROM e GROUP BY target
 
 REGISTRY["anchor_text_agg"] = (q_anchor_text_agg, SQL_ANCHOR_TEXT)
 
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window streaming aggregation (F.session_window, 30-min
+    gap) run with availableNow over the corpus pages and read back — a
+    STREAMING entry with a full value oracle: with all data in one
+    final batch, Spark's session assignment is deterministic (sessions
+    = gap-partitioned runs per host; end = last event + gap), which the
+    DuckDB twin reproduces with the batch lag/cumsum construction.
+    Two empirically-pinned semantics: events exactly `gap` apart MERGE
+    (a new session needs a strictly larger gap), and append mode emits
+    only sessions closed by the final watermark (global max event time
+    - 10 min) — each host's tail session stays in state. Timestamps are
+    compared as epoch micros (the corpus parquet carries tz-aware
+    timestamps that DuckDB renders with an offset)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fraudcrawler_spark.streaming.ingest import host_session_counts
+
+    base = os.path.join(tempfile.gettempdir(), "fc_conf_stream_sess")
+    shutil.rmtree(base, ignore_errors=True)
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    shutil.copy(
+        os.path.join(_crawl_corpus(), "pages.parquet"),
+        os.path.join(indir, "b1.parquet"),
+    )
+    q = (
+        host_session_counts(spark, indir)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(base, "out"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(os.path.join(base, "out"))
+    return out.select(
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "host",
+        "n_pages",
+    )
+
+
+SQL_STREAMING_SESSIONS = rf"""
+WITH p AS (SELECT url, warc_ts FROM read_parquet('{_D}/pages.parquet')),
+d AS ({_SQL_CANON_DOMAIN.format(src="p")}),
+g AS (
+  SELECT domain AS host, warc_ts,
+         CASE WHEN epoch_us(warc_ts)
+                   - LAG(epoch_us(warc_ts)) OVER (PARTITION BY domain
+                                                  ORDER BY warc_ts)
+                   > 1800000000
+                OR LAG(warc_ts) OVER (PARTITION BY domain ORDER BY warc_ts)
+                   IS NULL
+              THEN 1 ELSE 0 END AS ns
+  FROM d
+),
+s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY host ORDER BY warc_ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT epoch_us(MIN(warc_ts)) AS start_us,
+       epoch_us(MAX(warc_ts)) + 1800000000 AS end_us,
+       host, COUNT(*) AS n_pages
+FROM s GROUP BY host, sess
+-- append-mode emission: only sessions CLOSED by the final watermark
+-- (global max event time - 10 min) are in the sink; the per-host tail
+-- session is withheld in state when the query stops
+HAVING epoch_us(MAX(warc_ts)) + 1800000000
+       <= (SELECT epoch_us(MAX(warc_ts)) - 600000000 FROM p)
+"""
+
+REGISTRY["streaming_sessions"] = (q_streaming_sessions, SQL_STREAMING_SESSIONS)
+
 REGISTRY["crawl_pipeline"] = (q_crawl_pipeline, SQL_CRAWL_PIPELINE)
 REGISTRY["crawl_frontier_round"] = (q_crawl_frontier_round, SQL_CRAWL_ROUND)

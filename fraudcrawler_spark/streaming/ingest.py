@@ -157,3 +157,25 @@ def host_rate_tracker(spark: SparkSession, input_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def host_session_counts(spark: SparkSession, input_dir: str,
+                        gap: str = "30 minutes",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Native session-window aggregation: per-host page counts over
+    gap-based sessions (`F.session_window` — the streaming twin of the
+    batch sessionizer conformance_events.q_sessionize; same 30-minute
+    inactivity semantics, state expired by the watermark)."""
+    pages = stream_pages(spark, input_dir)
+    return (
+        pages.withColumn("host", canonical_host_expr(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("w"), "host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "host",
+            "n_pages",
+        )
+    )

@@ -110,3 +110,42 @@ def test_host_rate_tracker_state(spark, stream_dirs, tmp_path_factory):
     final = got.groupby("host")["total_pages"].max()
     for host, n in true_counts.items():
         assert final.get(host, 0) == n, host
+
+
+def test_session_window_counts(spark, tmp_path_factory):
+    from fraudcrawler_spark.streaming.ingest import host_session_counts
+
+    base = tmp_path_factory.mktemp("sess_stream")
+    ind, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(ind)
+    pages = generate_pages(400, n_hosts=5)
+    _write_batch(pages, os.path.join(ind, "b1.parquet"))
+
+    q = (
+        host_session_counts(spark, ind)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    rows = res.collect()
+    assert rows, "watermark-closed sessions must be emitted"
+    # session windows are genuine sessions: end > start, counts positive,
+    # and per host the sessions do not overlap
+    by_host = {}
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_pages"] > 0
+        by_host.setdefault(r["host"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for spans in by_host.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2, "sessions of one host must not overlap"
+    # totals conserved: every emitted page is in exactly one session
+    assert sum(r["n_pages"] for r in rows) <= 400
