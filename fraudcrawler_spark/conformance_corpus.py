@@ -364,3 +364,67 @@ SELECT
     AS url_norm
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 keywords per document by tf-idf (score = tf * ln(N/df),
+    ties broken by term) — the classic document-labeling operator; at
+    crawl scale this is what tags every page with its salient terms.
+
+    Plan: term-frequency hash agg per (doc, term), document-frequency
+    hash agg per term broadcast back (vocab-sized — falls back to a
+    term-key equi-join past broadcast range), scalar N via a broadcast
+    1-row cross join, then a per-doc top-k window (partitioned by
+    doc_id — never global).
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    )
+    tf = d.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "t",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 4).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", F.col("t").alias("term"), F.col("rank").cast("long").alias("rank"), "score")
+    )
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH tok AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+df AS (SELECT t, COUNT(*)::DOUBLE AS df FROM tf GROUP BY t),
+n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+scored AS (
+  SELECT doc_id, t,
+         ROUND(tf * ln((SELECT n FROM n) / df), 4) AS score
+  FROM tf JOIN df USING (t)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, t) AS rank
+  FROM scored
+)
+SELECT doc_id, t AS term, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 3
+"""

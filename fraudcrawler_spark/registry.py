@@ -86,6 +86,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_stats": (cc.q_corpus_stats, cc.SQL_CORPUS_STATS),
     # analytic oracle: the twin CONSTRUCTS the expected normalized url
     "url_normalize": (cc.q_url_normalize, cc.SQL_URL_NORMALIZE),
+    "tfidf_keywords": (cc.q_tfidf_keywords, cc.SQL_TFIDF_KEYWORDS),
     # graph stage (r3): near-dup clusters (connected components, recursive-
     # CTE twin), PageRank frontier priority (unrolled twin), salted
     # skew-safe agg — conformance_graph.py

@@ -332,3 +332,15 @@ def test_event_funnel_and_cohort_no_python_no_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p, q.__name__
         assert "EvalPython" not in p, q.__name__
         assert "WindowExec" not in p, q.__name__
+
+
+def test_tfidf_topk_window_per_doc(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_tfidf_keywords
+
+    p = _plan(spark, q_tfidf_keywords(spark, sf_dir))
+    # df table broadcasts; the top-3 window partitions by doc_id
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    specs = re.findall(r"windowspecdefinition\((\w+)", p)
+    assert specs and all(s.startswith("doc_id") for s in specs), specs
