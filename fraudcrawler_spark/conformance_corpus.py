@@ -24,6 +24,7 @@ mandated by the build brief.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fraudcrawler_spark.conformance_ml import _t
@@ -427,4 +428,50 @@ ranked AS (
 )
 SELECT doc_id, t AS term, CAST(rank AS BIGINT) AS rank, score
 FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# skew diagnostics (Zipf-head report)
+# --------------------------------------------------------------------------
+
+
+def q_skew_report(spark, sf_dir):
+    """Join/partition-key skew diagnostic: the 10 heaviest source keys
+    with their share and cumulative share of all docs — the report that
+    decides WHERE salting (salted_agg, politeness salt_shards) and AQE
+    skew-join thresholds are needed. TakeOrderedAndProject top-k over a
+    key-count aggregation plus one bounded window over ≤10 rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.count()
+    top = (
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "source")
+        .limit(10)
+    )
+    # non-foldable constant partition key (pmod(col,1) == 0) keeps the
+    # bounded 10-row window off the unpartitioned-WindowExec path
+    w = (
+        Window.partitionBy(F.pmod(F.col("n_docs"), F.lit(1)))
+        .orderBy(F.col("n_docs").desc(), "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.lit(total), 4).alias("share"),
+        F.round(F.sum("n_docs").over(w) / F.lit(total), 4).alias("cum_share"),
+    )
+
+
+SQL_SKEW_REPORT = """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT * FROM c ORDER BY n_docs DESC, source LIMIT 10)
+SELECT source, n_docs,
+       ROUND(n_docs::DOUBLE / (SELECT COUNT(*) FROM documents), 4) AS share,
+       ROUND(SUM(n_docs) OVER (ORDER BY n_docs DESC, source
+                               ROWS UNBOUNDED PRECEDING)::DOUBLE
+             / (SELECT COUNT(*) FROM documents), 4) AS cum_share
+FROM t
 """

@@ -287,3 +287,40 @@ FROM c
 
 
 SQL_CORPUS_TO_SHARDS = _sql_corpus_to_shards()
+
+
+# --------------------------------------------------------------------------
+# per-group sample (k deterministic examples per stratum)
+# --------------------------------------------------------------------------
+
+
+def q_group_sample(spark, sf_dir):
+    """k=3 deterministic sample docs per (source) stratum: rank by the
+    shared hash within each group, keep the top 3 — the "show me a few
+    examples from every slice" query every corpus UI needs, and the
+    per-group analog of reservoir sampling with a retry-stable rank.
+    One window per group key; never a global sort.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    h = _h32(F.concat(F.lit("gs:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_GROUP_SAMPLE = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         {_H32_SQL.format(x="'gs:' || doc_id::VARCHAR")} AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM g
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+"""

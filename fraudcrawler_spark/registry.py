@@ -87,6 +87,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # analytic oracle: the twin CONSTRUCTS the expected normalized url
     "url_normalize": (cc.q_url_normalize, cc.SQL_URL_NORMALIZE),
     "tfidf_keywords": (cc.q_tfidf_keywords, cc.SQL_TFIDF_KEYWORDS),
+    "skew_report": (cc.q_skew_report, cc.SQL_SKEW_REPORT),
     # graph stage (r3): near-dup clusters (connected components, recursive-
     # CTE twin), PageRank frontier priority (unrolled twin), salted
     # skew-safe agg — conformance_graph.py
@@ -107,6 +108,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # shard shuffle / sequence packing — conformance_mix.py
     "stratified_sample": (cx.q_stratified_sample, cx.SQL_STRATIFIED_SAMPLE),
     "split_assign": (cx.q_split_assign, cx.SQL_SPLIT_ASSIGN),
+    "group_sample": (cx.q_group_sample, cx.SQL_GROUP_SAMPLE),
     "corpus_shuffle": (cx.q_corpus_shuffle, cx.SQL_CORPUS_SHUFFLE),
     "sequence_pack": (cx.q_sequence_pack, cx.SQL_SEQUENCE_PACK),
     # flagship composite: prepared corpus → train split → shards → packed

@@ -344,3 +344,25 @@ def test_tfidf_topk_window_per_doc(spark, sf_dir):
     assert "EvalPython" not in p
     specs = re.findall(r"windowspecdefinition\((\w+)", p)
     assert specs and all(s.startswith("doc_id") for s in specs), specs
+
+
+def test_group_sample_and_skew_report_shapes(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_skew_report
+    from fraudcrawler_spark.conformance_mix import q_group_sample
+
+    p = _plan(spark, q_group_sample(spark, sf_dir))
+    # per-group rank window partitions on the stratum key
+    specs = re.findall(r"windowspecdefinition\((\w+)", p)
+    assert specs and all(s.startswith("source") for s in specs), specs
+    assert "EvalPython" not in p
+
+    p = _plan(spark, q_skew_report(spark, sf_dir))
+    # global top-10 compiles to TakeOrderedAndProject; the cum-share
+    # window runs over the bounded 10-row result with a non-foldable
+    # constant key (never the unpartitioned-WindowExec path)
+    assert "TakeOrderedAndProject" in p
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
+    # the constant key is projected into a derived _w column; the pmod
+    # expression itself must appear in the plan's projection
+    assert specs and all(s.startswith("_w") for s in specs), specs
+    assert "pmod(n_docs" in p
