@@ -17,6 +17,7 @@ from fraudcrawler_spark import conformance_corpus as cc
 from fraudcrawler_spark import conformance_events as ce
 from fraudcrawler_spark import conformance_graph as cg
 from fraudcrawler_spark import conformance_mix as cx
+from fraudcrawler_spark import conformance_tpch as ct
 from fraudcrawler_spark import conformance_ml as m
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -41,6 +42,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "frontier_order": (c.q_frontier_order, c.SQL_FRONTIER_ORDER),
     "politeness_cells": (c.q_politeness_cells, c.SQL_POLITENESS),
     "pipeline_composite": (c.q_pipeline_composite, c.SQL_PIPELINE_COMPOSITE),
+    # multi-table join-planning showcase (TPC-H Q8/Q15/Q4 shapes)
+    "market_share": (ct.q_market_share, ct.SQL_MARKET_SHARE),
+    "top_suppliers": (ct.q_top_suppliers, ct.SQL_TOP_SUPPLIERS),
+    "order_priority": (ct.q_order_priority, ct.SQL_ORDER_PRIORITY),
     # training-data operators
     "dedup_exact": (m.q_dedup_exact, m.SQL_DEDUP_EXACT),
     "text_fingerprint": (m.q_text_fingerprint, m.SQL_TEXT_FINGERPRINT),

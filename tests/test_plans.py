@@ -366,3 +366,27 @@ def test_group_sample_and_skew_report_shapes(spark, sf_dir):
     # expression itself must appear in the plan's projection
     assert specs and all(s.startswith("_w") for s in specs), specs
     assert "pmod(n_docs" in p
+
+
+def test_tpch_showcase_join_strategies(spark, sf_dir):
+    from fraudcrawler_spark.conformance_tpch import (
+        q_market_share,
+        q_order_priority,
+        q_top_suppliers,
+    )
+
+    p = _plan(spark, q_market_share(spark, sf_dir))
+    # the full customer->nation->region dim chain rides broadcasts
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    # money sums stay decimal until the final projection
+    assert "sum(rev" in p or "sum(_rev" in p or "partial_sum" in p
+
+    p = _plan(spark, q_top_suppliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    p = _plan(spark, q_order_priority(spark, sf_dir))
+    # EXISTS compiles to a semi join, never a per-row subquery
+    assert "LeftSemi" in p
+    assert "EvalPython" not in p
