@@ -48,8 +48,22 @@ def write_results(
     writer = df.write.mode(mode)
     if fmt == "csv":
         writer.option("header", True).option("quoteAll", True).csv(path)
+    elif fmt == "jsonl":
+        # newline-delimited JSON — the training-data interchange format
+        # (one doc per line; Spark's json sink IS jsonl). gzip per-part
+        # keeps the 100-TB export splittable at the file level.
+        writer.option("compression", "gzip").json(path)
     else:
         writer.parquet(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a jsonl export back (schema optional — pass the writing
+    DataFrame's schema to skip the inference scan on big exports)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
 
 
 @dataclass(frozen=True)

@@ -542,3 +542,24 @@ def test_indegree_priority_mode(spark, corpus_dir, tmp_path_factory):
                        CrawlConfig(host_budget=4, max_depth=2), max_rounds=2)
     f2 = state2.read("frontier", 1)
     assert f2.where(F.col("priority") != F.col("crawl_depth")).count() == 0
+
+
+def test_jsonl_sink_roundtrip(spark, sf_dir, tmp_path_factory):
+    """jsonl export (gzip NDJSON) round-trips the pipeline output with
+    schema preserved when passed explicitly."""
+    from pyspark.sql import functions as F
+
+    from fraudcrawler_spark.operators.sink import read_jsonl, write_results
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+        .withColumn("score", F.length("text") / 10.0)
+    )
+    out = str(tmp_path_factory.mktemp("jsonl") / "docs")
+    write_results(df, out, fmt="jsonl")
+    back = read_jsonl(spark, out, schema=df.schema)
+    assert back.schema == df.schema
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
