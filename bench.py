@@ -441,11 +441,21 @@ def run_scaling(corpus: str) -> dict:
     def _contaminated(pn: dict, p4: dict, pr: dict) -> bool:
         """Objective contamination criteria, independent of the Spark
         number itself: a co-tenant burst during either side (steal > 3%
-        on any sample) or a capacity probe showing the host below 45% of
-        its nominal parallelism."""
+        on any sample), a capacity probe showing the host below 45% of
+        its nominal parallelism, or (r3) post-warmup rep-time spread >
+        2× within one side (JIT warm-up tails reach ~1.4× on a quiet
+        host; a co-tenant burst doubles a rep) — a burst that hits DURING a run but is
+        gone by probe time leaves exactly this signature (observed:
+        a 0.182-efficiency cycle whose after-the-fact probes read
+        clean)."""
         steals = (pn.get("steal_pct") or []) + (p4.get("steal_pct") or [])
-        return (max(steals, default=0.0) > 3.0
-                or pr["host_parallel_capacity"] < 0.45)
+        if max(steals, default=0.0) > 3.0 or pr["host_parallel_capacity"] < 0.45:
+            return True
+        for side in (pn, p4):
+            reps = (side.get("all_runs_sec") or [])[1:]  # rep 0 = JIT warmup
+            if len(reps) >= 2 and max(reps) / max(min(reps), 1e-9) > 2.0:
+                return True
+        return False
 
     def _assess():
         pairs = list(zip(samples[n_cores], samples[n4_cores]))
@@ -509,6 +519,8 @@ def run_scaling(corpus: str) -> dict:
                 "n4_urls_per_sec": s4["urls_per_sec"],
                 "n_steal_pct": sn.get("steal_pct"),
                 "n4_steal_pct": s4.get("steal_pct"),
+                "n_samples_sec": sn.get("all_runs_sec"),
+                "n4_samples_sec": s4.get("all_runs_sec"),
                 "efficiency": round(s4["urls_per_sec"] / (4 * sn["urls_per_sec"]), 3),
                 "host_parallel_capacity": pr["host_parallel_capacity"],
                 "host_bandwidth_scaling": pr["host_bandwidth_scaling"],
