@@ -1810,3 +1810,95 @@ SQL_DEDUP_INCREMENTAL = f"""
            COALESCE(m.n_base_matches, 0) > 0 AS is_dup
     FROM inc LEFT JOIN m USING (doc_id)
 """
+
+
+def q_perplexity_bigram(spark, sf_dir):
+    """Bigram-LM perplexity: condition each token on its predecessor
+    (p(t|prev) = c(prev,t) / c(prev,·)), score docs by mean negative
+    log-prob over positions 2..n. The one-step-up-from-unigram member
+    of the CCNet filter family — repetitive boilerplate scores low
+    (predictable), shuffled word salad scores high, which the unigram
+    model cannot see. Plan: one bigram-frequency agg + one
+    prev-marginal agg, both joined back on the bigram/prev keys
+    (broadcast at test vocab; equi-join at web scale), one per-doc agg.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    grams = d.where(F.col("n") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    ).withColumn("prev", F.split("bg", " ")[0])
+    bgf = grams.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("cbg"))
+    pvf = grams.groupBy("prev").agg(F.count(F.lit(1)).cast("double").alias("cpv"))
+    nll = F.avg(-F.log(F.col("cbg") / F.col("cpv")))
+    return (
+        grams.join(F.broadcast(bgf), "bg")
+        .join(F.broadcast(pvf), "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(nll, 4).alias("nll2"),
+            F.round(F.exp(nll), 2).alias("ppl2"),
+        )
+    )
+
+
+SQL_PERPLEXITY_BIGRAM = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(lower(text), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS prev
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+bgf AS (SELECT bg, COUNT(*)::DOUBLE AS cbg FROM grams GROUP BY bg),
+pvf AS (SELECT prev, COUNT(*)::DOUBLE AS cpv FROM grams GROUP BY prev)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-ln(cbg / cpv)), 4) AS nll2,
+       ROUND(EXP(AVG(-ln(cbg / cpv))), 2) AS ppl2
+FROM grams JOIN bgf USING (bg) JOIN pvf USING (prev)
+GROUP BY doc_id
+"""
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build: per token, document frequency, total term
+    frequency, and the first 5 postings (sorted doc_ids, serialized to
+    a comma string — the driver canonicalizer hashes scalars, not
+    lists). The retrieval-side product of the corpus: one shuffle on
+    the token key; postings lists shard naturally by token at scale.
+    """
+    tok = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    )
+    return tok.groupBy("t").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf_total"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5)
+        ).alias("postings_head"),
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT doc_id::BIGINT AS doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+)
+SELECT t, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total,
+       array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',')
+         AS postings_head
+FROM tok GROUP BY t
+"""

@@ -102,6 +102,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # CCNet-style LM quality filter + dedup-before-ingest (r3)
     "perplexity_score": (m.q_perplexity_score, m.SQL_PERPLEXITY),
     "dedup_incremental": (m.q_dedup_incremental, m.SQL_DEDUP_INCREMENTAL),
+    "perplexity_bigram": (m.q_perplexity_bigram, m.SQL_PERPLEXITY_BIGRAM),
+    "inverted_index": (m.q_inverted_index, m.SQL_INVERTED_INDEX),
     # event-stream batch ops (r3): sessionization + as-of join —
     # conformance_events.py; int8 quantization — conformance_ml.py
     "sessionize": (ce.q_sessionize, ce.SQL_SESSIONIZE),

@@ -390,3 +390,22 @@ def test_tpch_showcase_join_strategies(spark, sf_dir):
     # EXISTS compiles to a semi join, never a per-row subquery
     assert "LeftSemi" in p
     assert "EvalPython" not in p
+
+
+def test_bigram_ppl_and_inverted_index_shapes(spark, sf_dir):
+    from fraudcrawler_spark.conformance_ml import (
+        q_inverted_index,
+        q_perplexity_bigram,
+    )
+
+    p = _plan(spark, q_perplexity_bigram(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    p = _plan(spark, q_inverted_index(spark, sf_dir))
+    # two exchanges: the exact distinct-count dedups on (t, doc_id)
+    # before the final token-key agg — the correct exact-df plan
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "ObjectHashAggregate" in p  # collect_set
+    assert "EvalPython" not in p
