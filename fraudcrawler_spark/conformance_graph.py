@@ -59,27 +59,7 @@ def q_dedup_clusters(spark, sf_dir):
     per-round plan is identical, only the edge rewrite differs.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    edges = _chain_edges(docs)
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
-    for i in range(_CC_ITERS):
-        prop = edges.join(
-            labels.withColumnRenamed("doc_id", "dst"), "dst"
-        ).select(F.col("src").alias("doc_id"), "lbl")
-        labels = (
-            labels.unionByName(prop).groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
-        )
-        if i % 4 == 3:
-            labels = labels.localCheckpoint()
-    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "lbl")
-        .select(
-            "doc_id",
-            F.col("lbl").alias("cluster_id"),
-            "cluster_size",
-            (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
-        )
-    )
+    return min_label_components(docs, _chain_edges(docs))
 
 
 SQL_DEDUP_CLUSTERS = """
@@ -238,3 +218,80 @@ SELECT
 FROM documents
 GROUP BY source
 """
+
+
+def min_label_components(docs, edges, iters: int = _CC_ITERS):
+    """Reusable min-label connected components: ``docs(doc_id)`` +
+    symmetric ``edges(src, dst)`` → (doc_id, cluster_id, cluster_size,
+    is_canonical). Pregel-lite per round (equi-join + hash agg),
+    lineage truncated every 4 iterations."""
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    for i in range(iters):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(F.col("src").alias("doc_id"), "lbl")
+        labels = (
+            labels.unionByName(prop).groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
+        )
+        if i % 4 == 3:
+            labels = labels.localCheckpoint()
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+def q_neardup_resolution(spark, sf_dir, cap: int = 300):
+    """The two dedup stages WIRED TOGETHER: banded 64-bit SimHash pair
+    generation (conformance_ml.simhash64_pairs_banded — equi-join
+    buckets, never all-pairs) feeding connected-component resolution
+    and canonical-doc election. This is the composite a real dedup
+    pipeline ships: fingerprints → candidate pairs → clusters → keep
+    one doc per cluster. Singleton docs are their own canonical. The
+    DuckDB twin computes exact components (recursive CTE) over the
+    all-pairs pair SQL — identical pairs by pigeonhole, so identical
+    clusters.
+    """
+    from fraudcrawler_spark.conformance_ml import (
+        q_dedup_simhash64,
+        simhash64_pairs_banded,
+    )
+
+    sh = q_dedup_simhash64(spark, sf_dir).where(F.col("doc_id") < cap)
+    pairs = simhash64_pairs_banded(sh).select("a", "b")
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return min_label_components(sh.select("doc_id"), edges)
+
+
+def _sql_neardup_resolution() -> str:
+    from fraudcrawler_spark.conformance_ml import _S64_HAMMING_SQL, _simhash64_sql
+
+    return f"""
+WITH RECURSIVE sh AS ({_simhash64_sql(300)}),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE ({_S64_HAMMING_SQL}) <= 3
+),
+e AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs
+),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id AS lbl FROM sh
+  UNION
+  SELECT e.src AS doc_id, r.lbl FROM reach r JOIN e ON e.dst = r.doc_id
+),
+comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp
+          GROUP BY cluster_id)
+SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size,
+       comp.doc_id = comp.cluster_id AS is_canonical
+FROM comp JOIN sizes USING (cluster_id)
+"""
+

@@ -99,6 +99,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (cg.q_dedup_clusters, cg.SQL_DEDUP_CLUSTERS),
     "pagerank_priority": (cg.q_pagerank_priority, cg.SQL_PAGERANK),
     "salted_agg": (cg.q_salted_agg, cg.SQL_SALTED_AGG),
+    # composite: banded simhash64 pairs -> connected components ->
+    # canonical election (fingerprint -> pairs -> clusters, one DAG)
+    "neardup_resolution": (cg.q_neardup_resolution, cg._sql_neardup_resolution()),
     # CCNet-style LM quality filter + dedup-before-ingest (r3)
     "perplexity_score": (m.q_perplexity_score, m.SQL_PERPLEXITY),
     "dedup_incremental": (m.q_dedup_incremental, m.SQL_DEDUP_INCREMENTAL),

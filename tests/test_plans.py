@@ -409,3 +409,14 @@ def test_bigram_ppl_and_inverted_index_shapes(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "ObjectHashAggregate" in p  # collect_set
     assert "EvalPython" not in p
+
+
+def test_neardup_resolution_composite_shape(spark, sf_dir):
+    from fraudcrawler_spark.conformance_graph import q_neardup_resolution
+
+    p = _plan(spark, q_neardup_resolution(spark, sf_dir))
+    # pair generation stays a banded equi-join and the label rounds stay
+    # equi-join + hash agg — end to end, never an all-pairs stage
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
