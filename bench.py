@@ -59,6 +59,11 @@ HEADLINE = [
     "decontaminate",
     "pagerank_priority",
     "dedup_clusters",
+    # r3 flagship composites (neardup_resolution stays out: its 8
+    # min-label iterations cost ~30 s of pure stage overhead at toy
+    # scale — measured, not a plan defect; see PLANS.md)
+    "corpus_to_shards",
+    "sessionize",
     # rows-only composites (fixed in r2: map flattened for the driver canon)
     "crawl_pipeline",
     "crawl_frontier_round",

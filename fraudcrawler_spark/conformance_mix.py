@@ -324,3 +324,65 @@ r AS (
 )
 SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# mixture rebalancing weights
+# --------------------------------------------------------------------------
+
+_TARGET_MIX = {"en": 0.5, "de": 0.3}  # target token share; rest split evenly
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Mixture rebalancing: given a target token share per language
+    (en 50%, de 30%, remainder split evenly across other langs),
+    compute each language's current token share and the per-doc
+    sampling weight (target/current, capped at 1 — upsampling is a
+    repeat-factor decision left to the loader) that the stratified
+    sampler would consume. One aggregation + broadcast arithmetic —
+    the mixture-design step between corpus stats and sampling.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("ntok")
+    )
+    per = docs.groupBy("lang").agg(F.sum("ntok").cast("double").alias("toks"))
+    tot = per.agg(
+        F.sum("toks").alias("all_toks"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    other_share = (
+        F.lit(1.0 - sum(_TARGET_MIX.values())) / (F.col("n_langs") - len(_TARGET_MIX))
+    )
+    target = (
+        F.when(F.col("lang") == "en", F.lit(_TARGET_MIX["en"]))
+        .when(F.col("lang") == "de", F.lit(_TARGET_MIX["de"]))
+        .otherwise(other_share)
+    )
+    cur = F.col("toks") / F.col("all_toks")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("toks").cast("long").alias("n_tokens"),
+        F.round(cur, 4).alias("current_share"),
+        F.round(target, 4).alias("target_share"),
+        F.round(F.least(target / cur, F.lit(1.0)), 4).alias("sample_weight"),
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH per AS (
+  SELECT lang, SUM(len(string_split(text, ' ')))::DOUBLE AS toks
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(toks) AS all_toks, COUNT(*) AS n_langs FROM per)
+SELECT lang,
+       CAST(toks AS BIGINT) AS n_tokens,
+       ROUND(toks / all_toks, 4) AS current_share,
+       ROUND(CASE WHEN lang = 'en' THEN 0.5
+                  WHEN lang = 'de' THEN 0.3
+                  ELSE 0.2 / (n_langs - 2) END, 4) AS target_share,
+       ROUND(LEAST((CASE WHEN lang = 'en' THEN 0.5
+                         WHEN lang = 'de' THEN 0.3
+                         ELSE 0.2 / (n_langs - 2) END) / (toks / all_toks),
+                   1.0), 4) AS sample_weight
+FROM per, tot
+"""

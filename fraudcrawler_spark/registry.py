@@ -119,6 +119,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stratified_sample": (cx.q_stratified_sample, cx.SQL_STRATIFIED_SAMPLE),
     "split_assign": (cx.q_split_assign, cx.SQL_SPLIT_ASSIGN),
     "group_sample": (cx.q_group_sample, cx.SQL_GROUP_SAMPLE),
+    "mixture_weights": (cx.q_mixture_weights, cx.SQL_MIXTURE_WEIGHTS),
     "corpus_shuffle": (cx.q_corpus_shuffle, cx.SQL_CORPUS_SHUFFLE),
     "sequence_pack": (cx.q_sequence_pack, cx.SQL_SEQUENCE_PACK),
     # flagship composite: prepared corpus → train split → shards → packed
