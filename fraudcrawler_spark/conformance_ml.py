@@ -1902,3 +1902,55 @@ SELECT t, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total,
          AS postings_head
 FROM tok GROUP BY t
 """
+
+
+def q_langid_eval(spark, sf_dir):
+    """Classifier evaluation harness: confusion matrix of the langid
+    heuristic against the documents table's ground-truth `lang` column,
+    plus per-true-language accuracy. Reuses q_text_langid's guesses
+    verbatim (one join on doc_id), then a (true, guess) hash agg — the
+    eval-loop pattern every heuristic filter in this repo should be
+    judged by, expressed as a two-agg DataFrame plan.
+    """
+    truth = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("lang_true"),
+    )
+    guess = q_text_langid(spark, sf_dir).select("doc_id", "lang_guess")
+    j = truth.join(guess, "doc_id")
+    cm = j.groupBy("lang_true", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_true = j.groupBy("lang_true").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum((F.col("lang_true") == F.col("lang_guess")).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return cm.join(per_true, "lang_true").select(
+        "lang_true",
+        "lang_guess",
+        "n",
+        F.round(F.col("n_correct") / F.col("n_true"), 4).alias("true_lang_accuracy"),
+    )
+
+
+SQL_LANGID_EVAL = f"""
+WITH guess AS ({SQL_TEXT_LANGID}),
+j AS (
+  SELECT d.doc_id, d.lang AS lang_true, g.lang_guess
+  FROM documents d JOIN guess g ON d.doc_id = g.doc_id
+),
+cm AS (
+  SELECT lang_true, lang_guess, COUNT(*) AS n
+  FROM j GROUP BY lang_true, lang_guess
+),
+pt AS (
+  SELECT lang_true, COUNT(*) AS n_true,
+         SUM(CASE WHEN lang_true = lang_guess THEN 1 ELSE 0 END) AS n_correct
+  FROM j GROUP BY lang_true
+)
+SELECT cm.lang_true, cm.lang_guess, cm.n,
+       ROUND(pt.n_correct::DOUBLE / pt.n_true, 4) AS true_lang_accuracy
+FROM cm JOIN pt USING (lang_true)
+"""

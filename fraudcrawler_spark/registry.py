@@ -60,6 +60,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_tokens_bpe_real": (m.q_text_tokens_bpe_real, m.SQL_TEXT_TOKENS_BPE_REAL),
     "text_quality": (m.q_text_quality, m.SQL_TEXT_QUALITY),
     "text_langid": (m.q_text_langid, m.SQL_TEXT_LANGID),
+    "langid_eval": (m.q_langid_eval, m.SQL_LANGID_EVAL),
     "multimodal_meta": (m.q_multimodal_meta, m.SQL_MULTIMODAL_META),
     "ann_lsh": (m.q_ann_lsh, m.SQL_ANN_LSH),
     # multi-table amplified LSH (r3): b=4 tables × r=12 planes — the
