@@ -1954,3 +1954,48 @@ SELECT cm.lang_true, cm.lang_guess, cm.n,
        ROUND(pt.n_correct::DOUBLE / pt.n_true, 4) AS true_lang_accuracy
 FROM cm JOIN pt USING (lang_true)
 """
+
+
+def q_lsh_eval(spark, sf_dir):
+    """Candidate-generation evaluation: MinHash-LSH candidate pairs
+    scored against the EXACT 3-gram-Jaccard ≥ 0.2 pair set (same
+    150-doc universe, both individually oracled) — recall (what the
+    bucketed path would lose) and precision (wasted verify work). The
+    number that justifies the banded plans: full outer join of the two
+    pair sets, one aggregation, one row.
+    """
+    t = q_dedup_ngram_jaccard(spark, sf_dir).select("a", "b").withColumn(
+        "in_t", F.lit(1)
+    )
+    c = q_dedup_minhash_lsh(spark, sf_dir).select("a", "b").withColumn(
+        "in_c", F.lit(1)
+    )
+    m = t.join(c, ["a", "b"], "full")
+    hit = (F.col("in_t").isNotNull() & F.col("in_c").isNotNull()).cast("int")
+    return m.agg(
+        F.sum("in_t").cast("long").alias("n_truth"),
+        F.sum("in_c").cast("long").alias("n_candidates"),
+        F.sum(hit).cast("long").alias("n_hit"),
+        F.round(F.sum(hit) / F.greatest(F.sum("in_t"), F.lit(1)), 4).alias("recall"),
+        F.round(F.sum(hit) / F.greatest(F.sum("in_c"), F.lit(1)), 4).alias(
+            "precision"
+        ),
+    )
+
+
+SQL_LSH_EVAL = f"""
+WITH truth AS (SELECT a, b, 1 AS in_t FROM ({SQL_NGRAM_JACCARD}) q),
+cand AS (SELECT a, b, 1 AS in_c FROM ({SQL_MINHASH_LSH}) q),
+m AS (SELECT * FROM truth FULL JOIN cand USING (a, b))
+SELECT CAST(SUM(in_t) AS BIGINT) AS n_truth,
+       CAST(SUM(in_c) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN in_t IS NOT NULL AND in_c IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN in_t IS NOT NULL AND in_c IS NOT NULL THEN 1
+                      ELSE 0 END)::DOUBLE
+             / GREATEST(SUM(in_t), 1), 4) AS recall,
+       ROUND(SUM(CASE WHEN in_t IS NOT NULL AND in_c IS NOT NULL THEN 1
+                      ELSE 0 END)::DOUBLE
+             / GREATEST(SUM(in_c), 1), 4) AS precision
+FROM m
+"""

@@ -61,6 +61,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (m.q_text_quality, m.SQL_TEXT_QUALITY),
     "text_langid": (m.q_text_langid, m.SQL_TEXT_LANGID),
     "langid_eval": (m.q_langid_eval, m.SQL_LANGID_EVAL),
+    "lsh_eval": (m.q_lsh_eval, m.SQL_LSH_EVAL),
     "multimodal_meta": (m.q_multimodal_meta, m.SQL_MULTIMODAL_META),
     "ann_lsh": (m.q_ann_lsh, m.SQL_ANN_LSH),
     # multi-table amplified LSH (r3): b=4 tables × r=12 planes — the
