@@ -25,8 +25,36 @@ from __future__ import annotations
 
 import os
 import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _local_path(uri: str) -> str | None:
+    """Filesystem path for a local/file:// URI; None for remote schemes
+    (hdfs/s3 — never rmtree those from the driver)."""
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        return p.path or uri
+    return None
+
+
+def _managed_location(spark: SparkSession, table: str) -> str | None:
+    """Where the managed table's data lives (or would live). Prefer the
+    catalog's own answer when the table exists; otherwise derive it under
+    the warehouse dir — `db.tbl` lives at `<db>.db/tbl`, not `db.tbl/`
+    (r3 advice: the naive join broke qualified names and file:// URIs)."""
+    if spark.catalog.tableExists(table):
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if r["col_name"] == "Location":
+                return _local_path(r["data_type"])
+    wh = _local_path(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh is None:
+        return None
+    parts = table.lower().split(".")
+    if len(parts) == 2:
+        return os.path.join(wh, f"{parts[0]}.db", parts[1])
+    return os.path.join(wh, parts[-1])
 
 
 def write_bucketed(
@@ -43,11 +71,11 @@ def write_bucketed(
     # the in-memory catalog dies with the session but the managed
     # LOCATION under spark.sql.warehouse.dir does not: a fresh session
     # that re-creates the table would hit LOCATION_ALREADY_EXISTS, so
-    # drop both the (possibly unknown) table and any orphaned directory
+    # drop both the (possibly unknown) table and any orphaned directory.
+    # Resolve the location BEFORE the drop (drop removes the catalog row).
+    loc = _managed_location(spark, table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(wh.removeprefix("file:"), table.lower())
-    if os.path.isdir(loc):
+    if loc and os.path.isdir(loc):
         shutil.rmtree(loc)
     (
         df.write.mode(mode)

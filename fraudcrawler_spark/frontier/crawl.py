@@ -107,8 +107,8 @@ def init_crawl(
 
 def _effective_seen(state: CrawlState, upto: int):
     """The exact seen TABLE as of round ``upto``: union of per-round claim
-    deltas MINUS urls whose last retire is at least as recent as their
-    last claim. With no retires ever written (the default, TTL off) this
+    deltas MINUS urls whose last retire is STRICTLY more recent than their
+    last claim (same-round retire+re-claim stays seen). With no retires ever written (the default, TTL off) this
     is the plain delta union — zero extra cost. With TTL on, only the
     retired url set (small: one expiry round's claims) pays a
     semi/anti-join resolve; untouched urls pass through un-shuffled."""
@@ -126,7 +126,13 @@ def _effective_seen(state: CrawlState, upto: int):
         .groupBy("part", "url")
         .agg(F.max("claim_round").alias("rc"))
         .join(ret_last, "url")
-        .where(F.col("rc") > F.col("rr"))
+        # >= not >: the TTL flow retires and RE-CLAIMS in the same round
+        # (retire_round == claim_round == N, the claim happens after that
+        # round's retire), so an equal round means the url is seen. Strict
+        # > dropped it from the exact table while the cuckoo segments kept
+        # the re-claimed fingerprint — next round's filter-positive failed
+        # the exact confirm and the url was fetched AGAIN (r3 advice).
+        .where(F.col("rc") >= F.col("rr"))
         .select("part", "url")
     )
     clean = seen.join(ret_last.select("url"), "url", "left_anti").select(

@@ -61,3 +61,46 @@ def test_bucketed_results_equal_plain(spark, corpus_dir):
     a = sorted(map(tuple, fetch_extract(items, t["pages"]).collect()))
     b = sorted(map(tuple, fetch_extract(items, bp, broadcast_urls=False).collect()))
     assert a == b
+
+
+def test_orphan_location_cleanup_qualified_and_file_uri(spark, tmp_path):
+    """r3 advice (low): the orphan-directory cleanup must resolve the
+    managed location correctly for file:// warehouse URIs and qualified
+    db.tbl names (<db>.db/tbl, not db.tbl/), or a fresh session's
+    saveAsTable dies with LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from fraudcrawler_spark.bucketing import _managed_location, write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh.removeprefix("file:")
+    while wh_path.startswith("//"):
+        wh_path = wh_path[1:]
+
+    # unqualified: catalog-resolved location must be usable after a fake
+    # orphan (simulates a prior session's leftover directory)
+    df = spark.range(10).withColumnRenamed("id", "url")
+    tbl = "orphan_probe"
+    orphan = os.path.join(wh_path, tbl)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("stale")
+    write_bucketed(spark, df, tbl, ("url",), 2)
+    assert spark.table(tbl).count() == 10
+    # the resolved location is a real path (no 'file:'-prefix residue)
+    loc = _managed_location(spark, tbl)
+    assert loc and os.path.isdir(loc) and "file:" not in loc
+
+    # qualified name: derived path must be <db>.db/<tbl>
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    try:
+        got = _managed_location(spark, "bdb.some_tbl")
+        assert got is not None and got.endswith(os.path.join("bdb.db", "some_tbl"))
+        write_bucketed(spark, df, "bdb.qtbl", ("url",), 2)
+        assert spark.table("bdb.qtbl").count() == 10
+        # second write over the same name must succeed (cleanup worked)
+        write_bucketed(spark, df, "bdb.qtbl", ("url",), 2)
+        assert spark.table("bdb.qtbl").count() == 10
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -454,20 +454,63 @@ def test_effective_seen_subtracts_retires(spark, tmp_path):
     from fraudcrawler_spark.frontier.crawl import _effective_seen
 
     state = CrawlState(spark, str(tmp_path / "st"))
-    rows0 = [("u_keep", 0, 0), ("u_retired", 1, 0), ("u_reclaimed", 2, 0)]
-    rows2 = [("u_reclaimed", 2, 2)]
+    rows0 = [("u_keep", 0, 0), ("u_retired", 1, 0), ("u_reclaimed", 2, 0),
+             ("u_sameround", 3, 0)]
+    rows2 = [("u_reclaimed", 2, 2), ("u_sameround", 3, 2)]
     state.write("seen", 0, spark.createDataFrame(
         rows0, "url string, part int, claim_round int"))
     state.write("seen", 2, spark.createDataFrame(
         rows2, "url string, part int, claim_round int"))
+    # u_sameround models the TTL flow: retired AND re-claimed in round 2
+    # (retire_round == claim_round == 2). The re-claim happens after the
+    # retire within the round, so it must stay IN — strict > dropped it
+    # (r3 advice: duplicate fetch at round 3).
     state.write("retired", 1, spark.createDataFrame(
         [("u_retired", 1), ("u_reclaimed", 1)], "url string, retire_round int"))
+    state.write("retired", 2, spark.createDataFrame(
+        [("u_sameround", 2)], "url string, retire_round int"))
 
     got = {r["url"] for r in _effective_seen(state, 2).collect()}
-    assert got == {"u_keep", "u_reclaimed"}
-    # as-of round 1 (before the re-claim) both retirees are out
+    assert got == {"u_keep", "u_reclaimed", "u_sameround"}
+    # as-of round 1 (before the re-claim) both retirees are out;
+    # u_sameround's retire hasn't happened yet
     got1 = {r["url"] for r in _effective_seen(state, 1).collect()}
-    assert got1 == {"u_keep"}
+    assert got1 == {"u_keep", "u_sameround"}
+
+
+def test_ttl_recrawl_no_duplicate_claims(spark, corpus_dir, tmp_path_factory):
+    """r3 advice repro: with recrawl_after_rounds=2 over 4 rounds, a
+    round-0 url retired+refetched at round 2 must NOT be claimed again at
+    round 3 — its seen deltas appear only at its claim rounds (0 and 2),
+    never back-to-back. The strict-> _effective_seen filter violated this
+    (same-round retire+re-claim fell out of the exact table while the
+    cuckoo fingerprint stayed, so round 3's filter-positive failed the
+    exact confirm and re-claimed)."""
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.frontier.crawl import run_crawl
+
+    root = str(tmp_path_factory.mktemp("ttl_dup_state"))
+    cfg = CrawlConfig(
+        host_budget=8, max_depth=1, seen_filter_kind="cuckoo",
+        recrawl_after_rounds=2,
+    )
+    state = run_crawl(spark, corpus_dir, root, cfg, max_rounds=4)
+    per_round: dict[int, set] = {}
+    for rnd in range(4):
+        if state.exists("seen", rnd):
+            per_round[rnd] = {
+                r["url"] for r in state.read("seen", rnd).select("url").collect()
+            }
+    # TTL is 2: a legit re-claim of a round-r url lands at round r+2.
+    # Any url claimed at BOTH round r and r+1 is the duplicate bug.
+    for rnd, urls in sorted(per_round.items()):
+        nxt = per_round.get(rnd + 1, set())
+        dup_next = urls & nxt
+        assert not dup_next, (
+            f"urls claimed at round {rnd} re-claimed at round {rnd + 1} "
+            f"(TTL is 2 — back-to-back re-claim is the duplicate bug): "
+            f"{sorted(dup_next)[:5]}"
+        )
 
 
 def test_lsh_multi_table_amplification(spark, tmp_path):
