@@ -598,19 +598,51 @@ def main() -> None:
         scaling.setdefault("error", repr(e)[:200])
         scaling.setdefault("core_4n_urls_per_sec", 0.0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "frontier throughput (URLs scheduled+deduped/sec)",
-                "value": scaling["core_4n_urls_per_sec"],
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "scale_paths": scale_paths,
-                "frontier": scaling,
-            }
-        )
-    )
+    # r3 verdict item 2: the driver's tail capture is ~2 KB, so the full
+    # record (per-cycle rep arrays, probes, scale paths, phase breakdowns)
+    # goes to BENCH_FULL.json and the FINAL stdout line is a compact
+    # headline that always fits the capture window and parses.
+    full_record = {
+        "metric": "frontier throughput (URLs scheduled+deduped/sec)",
+        "value": scaling.get("core_4n_urls_per_sec", 0.0),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "scale_paths": scale_paths,
+        "frontier": scaling,
+    }
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(full_record, f, indent=1)
+    compact = {
+        "metric": "frontier throughput (URLs scheduled+deduped/sec)",
+        "value": scaling.get("core_4n_urls_per_sec", 0.0),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "scaling_efficiency": scaling.get("scaling_efficiency"),
+        "best_pair_efficiency": scaling.get("best_pair_efficiency"),
+        "scaling_efficiency_vs_bandwidth": scaling.get(
+            "scaling_efficiency_vs_bandwidth"
+        ),
+        "scaling_efficiency_vs_host_capacity": scaling.get(
+            "scaling_efficiency_vs_host_capacity"
+        ),
+        "core_n_urls_per_sec": scaling.get("core_n_urls_per_sec"),
+        "core_4n_urls_per_sec": scaling.get("core_4n_urls_per_sec"),
+        "full_round_local32_urls_per_sec": scaling.get(
+            "full_round_local32_urls_per_sec"
+        ),
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the capture
+        compact["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        }
+        compact["queries_truncated_see_detail"] = True
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

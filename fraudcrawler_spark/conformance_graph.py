@@ -28,7 +28,10 @@ from fraudcrawler_spark.conformance_ml import _t
 # connected components → dedup clusters
 # --------------------------------------------------------------------------
 
-_CC_ITERS = 8  # test-scale diameter bound (chains of 7 ⇒ diameter 6)
+_CC_MAX_ROUNDS = 60  # pathology bound, NOT a diameter bound: the
+# alternating-star algorithm converges in O(log^2 n) rounds on any graph
+# (log2(10^10) ≈ 33), so 60 is only hit by a logic error — and then we
+# raise instead of silently splitting a component.
 
 
 def _chain_edges(docs):
@@ -44,22 +47,24 @@ def _chain_edges(docs):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup cluster resolution: connected components by iterative
-    min-label propagation, then canonical-doc election (min doc_id) and
+    """Near-dup cluster resolution: connected components via alternating
+    large-star/small-star (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"), then canonical-doc election (min doc_id) and
     cluster size.
 
-    Plan per iteration: one equi-join (edge.dst = label.doc_id) + one
-    hash aggregation — the Pregel-lite shape. Label lineage is truncated
-    every 4 iterations (localCheckpoint) so the DAG stays flat. At test
-    scale the iteration count is a fixed diameter bound (8 ≥ chain
-    diameter 6, deterministic, no per-iteration convergence action);
-    production runs the alternating large-star/small-star algorithm
-    (Kiveris et al. 2014, "Connected Components in MapReduce and
-    Beyond") which converges in O(log n) rounds on any graph — the
-    per-round plan is identical, only the edge rewrite differs.
+    Converges in O(log^2 n) rounds on ANY graph — no diameter
+    assumption (the r3 fixed-8-iteration min-label loop silently split
+    components deeper than its bound; r3 verdict item 3). Convergence is
+    detected by an edge-set fingerprint (count + xxhash64 bit-XOR — one
+    cheap action per round over the just-checkpointed edges); a
+    never-converging run raises at _CC_MAX_ROUNDS instead of returning
+    wrong labels. Per round: two groupBy-min aggregations + two
+    partitioning-aligned joins — the agg's hash partitioning on the
+    group key satisfies the join's distribution, so each star phase
+    costs one exchange, and edge count stays O(|V| + |E|) throughout.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return min_label_components(docs, _chain_edges(docs))
+    return star_components(docs, _chain_edges(docs))
 
 
 SQL_DEDUP_CLUSTERS = """
@@ -220,21 +225,9 @@ GROUP BY source
 """
 
 
-def min_label_components(docs, edges, iters: int = _CC_ITERS):
-    """Reusable min-label connected components: ``docs(doc_id)`` +
-    symmetric ``edges(src, dst)`` → (doc_id, cluster_id, cluster_size,
-    is_canonical). Pregel-lite per round (equi-join + hash agg),
-    lineage truncated every 4 iterations."""
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
-    for i in range(iters):
-        prop = edges.join(
-            labels.withColumnRenamed("doc_id", "dst"), "dst"
-        ).select(F.col("src").alias("doc_id"), "lbl")
-        labels = (
-            labels.unionByName(prop).groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
-        )
-        if i % 4 == 3:
-            labels = labels.localCheckpoint()
+def _labels_to_clusters(docs, labels):
+    """(doc_id, lbl) → the standard cluster output: (doc_id, cluster_id,
+    cluster_size, is_canonical)."""
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         "doc_id",
@@ -242,6 +235,128 @@ def min_label_components(docs, edges, iters: int = _CC_ITERS):
         "cluster_size",
         (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
     )
+
+
+def star_components(docs, edges, max_rounds: int = _CC_MAX_ROUNDS,
+                    stats: dict | None = None):
+    """Production connected components: alternating large-star /
+    small-star (Kiveris et al. 2014) over ``docs(doc_id)`` + symmetric
+    ``edges(src, dst)`` → (doc_id, cluster_id, cluster_size,
+    is_canonical) with cluster_id = component-min doc_id.
+
+    Large-star: every node links its strictly-larger neighbors to the
+    minimum of its closed neighborhood. Small-star: every node (edges
+    now oriented large→small) links all its smaller neighbors — and
+    itself — to that minimum. Alternating the two converges to stars
+    centered at each component's minimum in O(log^2 n) rounds
+    REGARDLESS of graph diameter. Each round localCheckpoints the edge
+    set (flat lineage) and compares a (count, xxhash64-sum) fingerprint
+    against the previous round — identical fingerprint on an identical
+    multiset means converged. Refuses (ValueError) rather than return
+    split components if max_rounds is ever hit."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _fingerprint(df):
+        # bit_xor, not sum: xxhash64 values are uniform 64-bit longs and
+        # summing them overflows under ANSI mode; XOR is order-insensitive
+        # and exact on a distinct edge set
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _fingerprint(e)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # ---- large-star: neighbors v > u attach to min(Γ(u) ∪ {u})
+        nbr = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = nbr.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            nbr.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small-star: edges now all point large→small; every node
+        # re-links its neighbors (and itself) to its min neighbor
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        e = (
+            large.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .unionByName(mins2.select("src", F.col("m").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise ValueError(
+            f"star_components did not converge in {max_rounds} rounds — "
+            "O(log^2 n) convergence is guaranteed, so this is a logic "
+            "error, not a deep graph; refusing to return split components"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    lbl = e.groupBy("src").agg(F.min("dst").alias("lbl"))
+    labels = docs.join(
+        lbl.withColumnRenamed("src", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("lbl", "doc_id").alias("lbl"))
+    return _labels_to_clusters(docs, labels)
+
+
+def min_label_components(docs, edges, max_iters: int = _CC_MAX_ROUNDS,
+                         stats: dict | None = None):
+    """Min-label-propagation connected components, kept as the simple
+    O(diameter) twin of star_components: ``docs(doc_id)`` + symmetric
+    ``edges(src, dst)`` → (doc_id, cluster_id, cluster_size,
+    is_canonical). Pregel-lite per round (equi-join + hash agg). Since
+    r4 it iterates TO CONVERGENCE (label-set fingerprint per round, one
+    cheap action over just-checkpointed labels) instead of a fixed
+    count — correct on any diameter ≤ max_iters, else raises. Prefer
+    star_components for production graphs (diameter-free round bound)."""
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+
+    def _fingerprint(df):
+        row = df.agg(
+            F.coalesce(F.bit_xor(F.xxhash64("doc_id", "lbl")), F.lit(0)).alias("h")
+        ).collect()[0]
+        return row["h"]
+
+    prev = _fingerprint(labels)
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(F.col("src").alias("doc_id"), "lbl")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur = _fingerprint(labels)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise ValueError(
+            f"min_label_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds the bound) — use star_components"
+        )
+    return _labels_to_clusters(docs, labels)
 
 
 def q_neardup_resolution(spark, sf_dir, cap: int = 300):
@@ -265,7 +380,7 @@ def q_neardup_resolution(spark, sf_dir, cap: int = 300):
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    return min_label_components(sh.select("doc_id"), edges)
+    return star_components(sh.select("doc_id"), edges)
 
 
 def _sql_neardup_resolution() -> str:

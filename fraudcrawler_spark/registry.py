@@ -130,9 +130,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-def queries() -> dict[str, QueryFn]:
+def _full_registry() -> dict[str, QueryFn]:
     out = dict((k, v[0]) for k, v in REGISTRY.items())
     out.update(_ROWS_ONLY)
+    return out
+
+
+def queries() -> dict[str, QueryFn]:
+    """Emit in DRIVER-WINDOW priority order (r3 verdict item 1): the
+    driver's correctness gate checks only the FIRST 50 entries, so the
+    entries that have never had a driver-green CORRECTNESS row — the two
+    crawl flagships, the r3/r4 additions, the rows-only trio — come
+    first, and already-green veterans rotate to the tail. _DRIVER_WINDOW
+    (registry.py bottom) is the explicit list; names not in it follow in
+    registry insertion order."""
+    full = _full_registry()
+    out: dict[str, QueryFn] = {}
+    for k in _DRIVER_WINDOW:
+        if k in full:
+            out[k] = full[k]
+    for k, v in full.items():
+        if k not in out:
+            out[k] = v
     return out
 
 
@@ -141,7 +160,8 @@ def oracle_sql() -> dict[str, str]:
     # path — materialize it up front so the SQL is runnable regardless of
     # whether the driver executes the Spark side first
     _crawl_corpus()
-    return {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}
+    sql = {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}
+    return {k: sql[k] for k in queries() if k in sql}
 
 
 # --------------------------------------------------------------------------
@@ -634,3 +654,74 @@ REGISTRY["streaming_sessions"] = (q_streaming_sessions, SQL_STREAMING_SESSIONS)
 
 REGISTRY["crawl_pipeline"] = (q_crawl_pipeline, SQL_CRAWL_PIPELINE)
 REGISTRY["crawl_frontier_round"] = (q_crawl_frontier_round, SQL_CRAWL_ROUND)
+
+
+# --------------------------------------------------------------------------
+# Driver-window priority (r3 verdict item 1). The driver's correctness gate
+# runs only the first 50 queries() entries, so this list pins who occupies
+# the window: every entry that has never had a driver-green CORRECTNESS row
+# (flagship composites first), then a few headline veterans in the slots
+# that remain; everything else follows in registry order. New operators MUST
+# be added here (near the top) until they earn a green row.
+# --------------------------------------------------------------------------
+_DRIVER_WINDOW: list[str] = [
+    # flagship composites (full DuckDB oracles since r3, never driver-run)
+    "crawl_pipeline",
+    "crawl_frontier_round",
+    "corpus_to_shards",
+    "neardup_resolution",
+    "streaming_sessions",
+    # graph stage
+    "dedup_clusters",
+    "pagerank_priority",
+    "salted_agg",
+    # corpus-governance stage
+    "decontaminate",
+    "pii_scrub",
+    "dedup_passage",
+    "corpus_stats",
+    "url_normalize",
+    "tfidf_keywords",
+    "skew_report",
+    # LM-quality / dedup-before-ingest
+    "perplexity_score",
+    "perplexity_bigram",
+    "dedup_incremental",
+    "inverted_index",
+    "embedding_quantize",
+    # event-stream batch ops
+    "sessionize",
+    "asof_join",
+    "event_funnel",
+    "cohort_retention",
+    # training-mix stage
+    "stratified_sample",
+    "split_assign",
+    "group_sample",
+    "mixture_weights",
+    "corpus_shuffle",
+    "sequence_pack",
+    # link graph + banded simhash64 twin
+    "anchor_text_agg",
+    "simhash64_pairs_banded",
+    # rows-only trio (golden value-hash pinned in pytest; driver rows-check)
+    "crawl_multimodal",
+    "crawl_frames",
+    "streaming_ingest",
+    # ---- veterans re-filling the window to 50 (already green in r03) ----
+    "pricing_summary",
+    "pipeline_composite",
+    "politeness_cells",
+    "frontier_order",
+    "dedup_minhash_lsh",
+    "dedup_simhash64",
+    "ann_lsh_multi",
+    "ann_ivf",
+    "events_window_agg",
+    "multimodal_meta",
+    "classify",
+    "market_share",
+    "text_tokens_bpe_real",
+    "fetch_left_outer",
+    "corpus_prep",
+]

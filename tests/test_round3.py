@@ -606,3 +606,91 @@ def test_jsonl_sink_roundtrip(spark, sf_dir, tmp_path_factory):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_star_components_deep_graph_converges(spark):
+    """r3 verdict item 3: connected components must carry NO diameter
+    assumption. A 200-node chain (diameter 199 — far past the old
+    8-iteration bound) plus assorted chains of 64 must resolve to exact
+    components, verified against driver-side union-find truth, in a
+    LOGARITHMIC number of alternating-star rounds."""
+    from fraudcrawler_spark.conformance_graph import (
+        min_label_components,
+        star_components,
+    )
+
+    n = 520
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    # chain breaks at 200 then every 64: components of size 200, 64, ...
+    breaks = {0, 200, 264, 328, 392, 456}
+    from pyspark.sql import functions as F
+
+    cond = ~F.col("doc_id").isin(*breaks)
+    e = docs.where(cond).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    # union-find truth
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d in range(1, n):
+        if d not in breaks:
+            ra, rb = find(d), find(d - 1)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    truth = {d: find(d) for d in range(n)}
+
+    stats: dict = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_components(docs, edges, stats=stats).collect()
+    }
+    assert got == truth, "star_components split or merged a component"
+    # O(log^2 n) in theory, single digits in practice — a diameter-199
+    # chain through min-label propagation would need 199 rounds
+    assert stats["rounds"] <= 12, f"expected log-ish rounds, got {stats['rounds']}"
+
+    # the O(diameter) twin now converges too (fingerprint early-exit) on
+    # a graph deeper than the old fixed bound, and agrees
+    small = spark.range(40).withColumnRenamed("id", "doc_id")
+    e2 = small.where(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    edges2 = e2.unionByName(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ml = {r["doc_id"]: r["cluster_id"]
+          for r in min_label_components(small, edges2).collect()}
+    assert ml == {d: 0 for d in range(40)}
+
+
+def test_star_components_singletons_and_sizes(spark):
+    """Isolated docs are their own canonical singleton cluster; sizes and
+    is_canonical flags are exact."""
+    from pyspark.sql import functions as F
+
+    from fraudcrawler_spark.conformance_graph import star_components
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    rows = {r["doc_id"]: r for r in star_components(docs, edges).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[3]["cluster_size"] == 3
+    assert rows[5]["cluster_id"] == 5 and rows[6]["cluster_size"] == 2
+    for d in (0, 4, 7, 8, 9):
+        assert rows[d]["cluster_id"] == d and rows[d]["cluster_size"] == 1
+        assert rows[d]["is_canonical"]
+    assert rows[2]["is_canonical"] is False
