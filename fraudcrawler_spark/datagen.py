@@ -275,6 +275,45 @@ def generate_prompts() -> pd.DataFrame:
     )
 
 
+def generate_images(n_images: int = 64) -> pd.DataFrame:
+    """REAL 24-bit BMP images (functions/bmp.py encoder — genuine files any
+    viewer opens), fully arithmetic so the decode kernels carry an ANALYTIC
+    oracle: pixel (x, y) of image k is
+      r = (7x + 13y + k)  % 256
+      g = (3x + 5y + 2k)  % 256
+      b = (11x + y + 3k)  % 256
+    with w = 8 + 5k % 25 (≤32), h = 6 + 3k % 19 (≤24). The DuckDB twin
+    regenerates the same grid from the (width, height) metadata columns and
+    must agree with what Spark recovers FROM THE BYTES ALONE — the metadata
+    is never read by the Spark kernels. Independent of the page RNG streams,
+    so adding this table changes no other table's bytes."""
+    from fraudcrawler_spark.functions.bmp import bmp_encode
+
+    rows = []
+    for k in range(n_images):
+        w = 8 + (k * 5) % 25
+        h = 6 + (k * 3) % 19
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (7 * xx + 13 * yy + k) % 256,
+                (3 * xx + 5 * yy + 2 * k) % 256,
+                (11 * xx + yy + 3 * k) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        rows.append(
+            {
+                "img_id": k,
+                "url": f"https://img-host-{k % 7}.ch/img/{k:04d}.bmp",
+                "width": w,
+                "height": h,
+                "img": bmp_encode(px),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) -> dict:
     """Write the full corpus as parquet files under out_dir; returns paths."""
     os.makedirs(out_dir, exist_ok=True)
@@ -286,6 +325,7 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
         "excluded_hosts": generate_excluded_hosts(n_hosts),
         "robots": generate_robots(n_hosts),
         "prompts": generate_prompts(),
+        "images": generate_images(),
     }
     paths = {}
     for name, df in tables.items():

@@ -180,7 +180,12 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
 
     if n_pages not in _CORPUS_CACHE:
         d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
-        if not os.path.exists(os.path.join(d, "pages.parquet")):
+        # images.parquet is the newest table (r4) — its absence means a
+        # stale pre-r4 cache dir that must be regenerated
+        if not all(
+            os.path.exists(os.path.join(d, f"{t}.parquet"))
+            for t in ("pages", "images")
+        ):
             write_corpus(d, n_pages)
         _CORPUS_CACHE[n_pages] = d
     return _CORPUS_CACHE[n_pages]
@@ -657,6 +662,114 @@ REGISTRY["crawl_frontier_round"] = (q_crawl_frontier_round, SQL_CRAWL_ROUND)
 
 
 # --------------------------------------------------------------------------
+# REAL image decode/resize (r3 verdict item 5): the corpus images table
+# holds genuine 24-bit BMP files whose pixels are arithmetically defined
+# (datagen.generate_images), so the pure-Python BMP codec's output is
+# checkable by an ANALYTIC DuckDB twin that regenerates the pixel grid from
+# the table's (width, height) metadata — metadata the Spark kernels never
+# read (width/height/pixels all come from the bytes).
+# --------------------------------------------------------------------------
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode: width/height/pixel-stats recovered from the bytes
+    alone (functions/bmp.py, mapInPandas Arrow batches)."""
+    import os
+
+    from fraudcrawler_spark.functions.multimodal import decode_image_meta
+
+    imgs = spark.read.parquet(os.path.join(_crawl_corpus(), "images.parquet"))
+    out = decode_image_meta(imgs.select("img_id", "img"))
+    return out.select(
+        "img_id", "width", "height", "n_bytes",
+        F.round("px_mean", 4).alias("px_mean"),
+        F.round("px_std", 4).alias("px_std"),
+    )
+
+
+# pixel formula (datagen.generate_images): channels of pixel (x, y), image k
+_SQL_PX_GRID = """
+  SELECT i.img_id, i.width, i.height, x.x AS x, y.y AS y
+  FROM i
+  JOIN generate_series(0, 31) AS x(x) ON x.x < i.width
+  JOIN generate_series(0, 23) AS y(y) ON y.y < i.height
+"""
+
+SQL_IMAGE_DECODE = rf"""
+WITH i AS (SELECT img_id, width, height
+           FROM read_parquet('{_D}/images.parquet')),
+px AS ({_SQL_PX_GRID}),
+v AS (
+  SELECT img_id, unnest([
+    (7 * x + 13 * y + img_id) % 256,
+    (3 * x + 5 * y + 2 * img_id) % 256,
+    (11 * x + y + 3 * img_id) % 256]) AS v
+  FROM px
+),
+s AS (SELECT img_id, AVG(v::DOUBLE) AS m, AVG((v * v)::DOUBLE) AS m2
+      FROM v GROUP BY img_id)
+SELECT i.img_id, i.width, i.height,
+  -- 54-byte header + rows padded to 4 bytes, bottom-up
+  54 + ((i.width * 3 + 3) // 4) * 4 * i.height AS n_bytes,
+  ROUND(s.m, 4) AS px_mean,
+  ROUND(sqrt(s.m2 - s.m * s.m), 4) AS px_std
+FROM i JOIN s USING (img_id)
+"""
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real thumbnail round-trip: decode BMP → nearest-neighbor resize to
+    8×8 → re-encode BMP → decode AGAIN and report the resized pixel
+    stats. The twin computes the same stats from the floor index map
+    src = (dst * src_dim) // 8 — one formula both engines share."""
+    import os
+
+    from fraudcrawler_spark.functions.multimodal import (
+        decode_image_meta,
+        resize_image_bmp,
+    )
+
+    imgs = spark.read.parquet(os.path.join(_crawl_corpus(), "images.parquet"))
+    resized = resize_image_bmp(imgs.select("img_id", "img"), out_w=8, out_h=8)
+    out = decode_image_meta(resized)
+    return out.select(
+        "img_id", "width", "height", "n_bytes",
+        F.round("px_mean", 4).alias("px_mean"),
+        F.round("px_std", 4).alias("px_std"),
+    )
+
+
+SQL_IMAGE_RESIZE = rf"""
+WITH i AS (SELECT img_id, width, height
+           FROM read_parquet('{_D}/images.parquet')),
+px AS (
+  SELECT i.img_id,
+         (x.x * i.width) // 8 AS sx,
+         (y.y * i.height) // 8 AS sy
+  FROM i
+  JOIN generate_series(0, 7) AS x(x) ON TRUE
+  JOIN generate_series(0, 7) AS y(y) ON TRUE
+),
+v AS (
+  SELECT img_id, unnest([
+    (7 * sx + 13 * sy + img_id) % 256,
+    (3 * sx + 5 * sy + 2 * img_id) % 256,
+    (11 * sx + sy + 3 * img_id) % 256]) AS v
+  FROM px
+),
+s AS (SELECT img_id, AVG(v::DOUBLE) AS m, AVG((v * v)::DOUBLE) AS m2
+      FROM v GROUP BY img_id)
+SELECT img_id, 8 AS width, 8 AS height,
+  54 + ((8 * 3 + 3) // 4) * 4 * 8 AS n_bytes,
+  ROUND(m, 4) AS px_mean,
+  ROUND(sqrt(m2 - m * m), 4) AS px_std
+FROM s
+"""
+
+REGISTRY["image_decode"] = (q_image_decode, SQL_IMAGE_DECODE)
+REGISTRY["image_resize"] = (q_image_resize, SQL_IMAGE_RESIZE)
+
+
+# --------------------------------------------------------------------------
 # Driver-window priority (r3 verdict item 1). The driver's correctness gate
 # runs only the first 50 queries() entries, so this list pins who occupies
 # the window: every entry that has never had a driver-green CORRECTNESS row
@@ -708,6 +821,9 @@ _DRIVER_WINDOW: list[str] = [
     "crawl_multimodal",
     "crawl_frames",
     "streaming_ingest",
+    # r4: real BMP decode/resize (analytic pixel oracle)
+    "image_decode",
+    "image_resize",
     # ---- veterans re-filling the window to 50 (already green in r03) ----
     "pricing_summary",
     "pipeline_composite",
@@ -722,6 +838,4 @@ _DRIVER_WINDOW: list[str] = [
     "classify",
     "market_share",
     "text_tokens_bpe_real",
-    "fetch_left_outer",
-    "corpus_prep",
 ]

@@ -235,3 +235,71 @@ def test_enrich_terms_semantics(spark):
     # beta: max(30,25)=30 first_seen 1; gamma 30@3; delta 30@101; alpha 10
     # orig excluded; ties on volume keep first-seen order (stable sort)
     assert got == [("beta", 30), ("gamma", 30), ("delta", 30)]
+
+
+def test_bmp_codec_roundtrip():
+    """Pure-Python BMP codec (r3 verdict item 5): encode→decode is
+    identity on real pixel arrays, including non-multiple-of-4 row widths
+    (padding) and the top-down negative-height variant."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fraudcrawler_spark.functions.bmp import bmp_decode, bmp_encode, resize_nearest
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (2, 3), (7, 5), (32, 24), (33, 1)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        data = bmp_encode(px)
+        assert data[:2] == b"BM"
+        # exact container size: 54-byte header + padded rows
+        assert len(data) == 54 + ((w * 3 + 3) // 4) * 4 * h
+        w2, h2, px2 = bmp_decode(data)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(px, px2)
+
+    # top-down variant (negative height in the info header)
+    px = rng.randint(0, 256, size=(4, 6, 3)).astype(np.uint8)
+    data = bytearray(bmp_encode(px))
+    # flip stored rows to top-down and negate height
+    stride = ((6 * 3 + 3) // 4) * 4
+    body = bytes(data[54:])
+    rows = [body[i * stride:(i + 1) * stride] for i in range(4)]
+    data[54:] = b"".join(reversed(rows))
+    struct.pack_into("<i", data, 22, -4)
+    w3, h3, px3 = bmp_decode(bytes(data))
+    assert (w3, h3) == (6, 4)
+    assert np.array_equal(px, px3)
+
+    # error paths: not-BMP, truncated, unsupported bpp
+    with _pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"<html>not an image</html>" + b"\x00" * 64)
+    with _pytest.raises(ValueError, match="truncated"):
+        bmp_decode(bmp_encode(px)[:-8])
+
+    # nearest-neighbor resize: exact floor index map
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    r = resize_nearest(px, 3, 2)
+    assert r.shape == (2, 3, 3)
+    assert np.array_equal(r[0, 0], px[0, 0])
+    assert np.array_equal(r[1, 2], px[2, 4])  # y: 1*4//2=2, x: 2*6//3=4
+
+
+def test_image_decode_ignores_metadata(spark, tmp_path):
+    """decode_image_meta must recover width/height from the BYTES, not the
+    table columns — corrupt metadata on purpose and check the decode."""
+    import numpy as np
+    import pandas as pd
+
+    from fraudcrawler_spark.functions.bmp import bmp_encode
+    from fraudcrawler_spark.functions.multimodal import decode_image_meta
+
+    px = np.zeros((5, 9, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # red block: mean over channels = 200/3
+    pdf = pd.DataFrame({"img_id": [0], "width": [999], "height": [999],
+                        "img": [bmp_encode(px)]})
+    df = spark.createDataFrame(pdf)
+    row = decode_image_meta(df.select("img_id", "img")).collect()[0]
+    assert (row["width"], row["height"]) == (9, 5)
+    assert abs(row["px_mean"] - 200 / 3) < 1e-9
