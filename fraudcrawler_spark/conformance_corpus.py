@@ -475,3 +475,101 @@ SELECT source, n_docs,
              / (SELECT COUNT(*) FROM documents), 4) AS cum_share
 FROM t
 """
+
+
+def q_pii_eval(spark, sf_dir):
+    """PII-scrub evaluation harness (r3 verdict item 8, langid_eval
+    pattern): the injected ground truth is exact by construction — doc d
+    truly carries an email iff d % 7 == 0, a phone iff d % 11 == 0, an
+    IP iff d % 13 == 0 (_pii_text_expr) — so the regex detector's
+    per-type TP/FP/FN, precision and recall are measurable without
+    labels. One pass over q_pii_scrub's counts, exploded to one row per
+    PII type, then a single hash agg. FP > 0 would mean the regexes
+    misfire on organic corpus text; recall < 1 would mean an injected
+    pattern escapes — both are the numbers a scrub stage must report
+    before it is trusted at 100 TB.
+    """
+    did = F.col("doc_id")
+    det = q_pii_scrub(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_emails") > 0).alias("d_email"),
+        (F.col("n_phones") > 0).alias("d_phone"),
+        (F.col("n_ips") > 0).alias("d_ip"),
+        (F.pmod(did, F.lit(7)) == 0).alias("t_email"),
+        (F.pmod(did, F.lit(11)) == 0).alias("t_phone"),
+        (F.pmod(did, F.lit(13)) == 0).alias("t_ip"),
+    )
+    z = det.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("email").alias("pii_type"),
+                    F.col("d_email").alias("det"),
+                    F.col("t_email").alias("tru"),
+                ),
+                F.struct(
+                    F.lit("phone").alias("pii_type"),
+                    F.col("d_phone").alias("det"),
+                    F.col("t_phone").alias("tru"),
+                ),
+                F.struct(
+                    F.lit("ip").alias("pii_type"),
+                    F.col("d_ip").alias("det"),
+                    F.col("t_ip").alias("tru"),
+                ),
+            )
+        ).alias("z")
+    ).select("z.*")
+    tp = F.sum((F.col("tru") & F.col("det")).cast("int")).cast("long")
+    fp = F.sum((~F.col("tru") & F.col("det")).cast("int")).cast("long")
+    fn = F.sum((F.col("tru") & ~F.col("det")).cast("int")).cast("long")
+    return z.groupBy("pii_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("tru").cast("int")).cast("long").alias("n_true"),
+        F.sum(F.col("det").cast("int")).cast("long").alias("n_detected"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(
+            tp / F.greatest(F.sum(F.col("det").cast("int")), F.lit(1)), 4
+        ).alias("precision"),
+        F.round(
+            tp / F.greatest(F.sum(F.col("tru").cast("int")), F.lit(1)), 4
+        ).alias("recall"),
+    )
+
+
+SQL_PII_EVAL = f"""
+WITH pii AS (
+  SELECT doc_id, {_PII_TEXT_SQL} AS pt FROM documents
+),
+det AS (
+  SELECT doc_id,
+    len(regexp_extract_all(pt, '{_RE_EMAIL}')) > 0 AS d_email,
+    len(regexp_extract_all(pt, '{_RE_PHONE}')) > 0 AS d_phone,
+    len(regexp_extract_all(pt, '{_RE_IP}')) > 0 AS d_ip,
+    doc_id % 7 = 0 AS t_email,
+    doc_id % 11 = 0 AS t_phone,
+    doc_id % 13 = 0 AS t_ip
+  FROM pii
+),
+z AS (
+  SELECT 'email' AS pii_type, d_email AS det, t_email AS tru FROM det
+  UNION ALL
+  SELECT 'phone' AS pii_type, d_phone AS det, t_phone AS tru FROM det
+  UNION ALL
+  SELECT 'ip' AS pii_type, d_ip AS det, t_ip AS tru FROM det
+)
+SELECT pii_type,
+  COUNT(*) AS n_docs,
+  CAST(SUM(tru::INT) AS BIGINT) AS n_true,
+  CAST(SUM(det::INT) AS BIGINT) AS n_detected,
+  CAST(SUM((tru AND det)::INT) AS BIGINT) AS tp,
+  CAST(SUM((NOT tru AND det)::INT) AS BIGINT) AS fp,
+  CAST(SUM((tru AND NOT det)::INT) AS BIGINT) AS fn,
+  ROUND(SUM((tru AND det)::INT)::DOUBLE
+        / GREATEST(SUM(det::INT), 1), 4) AS precision,
+  ROUND(SUM((tru AND det)::INT)::DOUBLE
+        / GREATEST(SUM(tru::INT), 1), 4) AS recall
+FROM z GROUP BY pii_type
+"""

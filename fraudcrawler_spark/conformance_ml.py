@@ -1999,3 +1999,60 @@ SELECT CAST(SUM(in_t) AS BIGINT) AS n_truth,
              / GREATEST(SUM(in_c), 1), 4) AS precision
 FROM m
 """
+
+
+# Gopher-style quality-gate thresholds (Rae et al. 2021 §A1.1): reject on
+# duplicate-line fraction > 0.30 or symbol-to-word ratio > 0.10
+_GATE_DUP_LINE = 0.30
+_GATE_SYMBOL = 0.10
+
+
+def q_quality_eval(spark, sf_dir):
+    """Quality-gate evaluation harness (r3 verdict item 8, langid_eval
+    pattern): _noisy_text_expr injects degradation DETERMINISTICALLY —
+    doc_id % 13 == 0 gains repeated boilerplate lines, doc_id % 17 == 0
+    (and not % 13) a symbol-spam tail — so the Gopher gate
+    (dup_line_frac > 0.30 OR symbol_word_ratio > 0.10) has exact ground
+    truth. Output: per truth class (clean / repetition / symbol_spam)
+    the flag rate — recall for the degraded classes, false-positive
+    rate for clean — the numbers that justify the thresholds before the
+    gate drops terabytes. One join-free pass (truth derives from
+    doc_id), one hash agg.
+    """
+    q = q_text_quality(spark, sf_dir)
+    did = F.col("doc_id")
+    truth = (
+        F.when(F.pmod(did, F.lit(13)) == 0, F.lit("repetition"))
+        .when(F.pmod(did, F.lit(17)) == 0, F.lit("symbol_spam"))
+        .otherwise(F.lit("clean"))
+    )
+    flagged = (F.col("dup_line_frac") > _GATE_DUP_LINE) | (
+        F.col("symbol_word_ratio") > _GATE_SYMBOL
+    )
+    return (
+        q.select(truth.alias("truth_class"), flagged.cast("int").alias("fl"))
+        .groupBy("truth_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("fl").cast("long").alias("n_flagged"),
+            F.round(F.sum("fl") / F.count(F.lit(1)), 4).alias("flag_rate"),
+        )
+    )
+
+
+SQL_QUALITY_EVAL = f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+lab AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'repetition'
+              WHEN doc_id % 17 = 0 THEN 'symbol_spam'
+              ELSE 'clean' END AS truth_class,
+         CASE WHEN dup_line_frac > {_GATE_DUP_LINE}
+                OR symbol_word_ratio > {_GATE_SYMBOL} THEN 1 ELSE 0 END AS fl
+  FROM q
+)
+SELECT truth_class,
+  COUNT(*) AS n_docs,
+  CAST(SUM(fl) AS BIGINT) AS n_flagged,
+  ROUND(SUM(fl)::DOUBLE / COUNT(*), 4) AS flag_rate
+FROM lab GROUP BY truth_class
+"""

@@ -93,6 +93,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_stats": (cc.q_corpus_stats, cc.SQL_CORPUS_STATS),
     # analytic oracle: the twin CONSTRUCTS the expected normalized url
     "url_normalize": (cc.q_url_normalize, cc.SQL_URL_NORMALIZE),
+    # eval harnesses (r4): injected-ground-truth confusion for the PII
+    # scrub and the Gopher quality gate — langid_eval/lsh_eval family
+    "pii_eval": (cc.q_pii_eval, cc.SQL_PII_EVAL),
+    "quality_eval": (m.q_quality_eval, m.SQL_QUALITY_EVAL),
     "tfidf_keywords": (cc.q_tfidf_keywords, cc.SQL_TFIDF_KEYWORDS),
     "skew_report": (cc.q_skew_report, cc.SQL_SKEW_REPORT),
     # graph stage (r3): near-dup clusters (connected components, recursive-
@@ -824,6 +828,9 @@ _DRIVER_WINDOW: list[str] = [
     # r4: real BMP decode/resize (analytic pixel oracle)
     "image_decode",
     "image_resize",
+    # r4: eval harnesses
+    "pii_eval",
+    "quality_eval",
     # ---- veterans re-filling the window to 50 (already green in r03) ----
     "pricing_summary",
     "pipeline_composite",
@@ -837,5 +844,4 @@ _DRIVER_WINDOW: list[str] = [
     "multimodal_meta",
     "classify",
     "market_share",
-    "text_tokens_bpe_real",
 ]
