@@ -277,6 +277,42 @@ def core_throughput_worker(cpus: int, corpus: str) -> None:
                       "urls_per_sec": round(urls / elapsed, 1)}))
 
 
+def compute_throughput_worker(cpus: int, _corpus: str) -> None:
+    """Subprocess entry: COMPUTE-BOUND control (r3 verdict item 4) — a
+    64-deep xxhash64 chain over spark.range, whole-stage codegen,
+    cache-resident state, near-zero DRAM traffic and zero shuffle. This
+    is the attribution experiment for the scaling criterion: if the
+    frontier round's N→4N ratio were Spark scheduler/engine overhead, it
+    would depress THIS job identically; this job scaling ≥0.8 while the
+    shuffle-heavy round sits at the measured memcpy ceiling pins the
+    round's gap on host DRAM bandwidth, not on the engine."""
+    import pyspark.sql.functions as F
+
+    from fraudcrawler_spark.session import get_spark
+
+    spark = get_spark(f"fc_compute_{cpus}", cores=cpus,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    rows = 24_000_000  # ~2 s at 8 cores: long enough to time precisely
+    col = F.col("id")
+    for _ in range(64):
+        col = F.xxhash64(col)
+    runs = []
+    for _ in range(int(os.environ.get("FC_BENCH_RUNS", "3"))):
+        j0 = _cpu_jiffies()
+        t0 = time.time()
+        # 4 partitions per core: identical per-row work on both sides,
+        # fine-grained enough that stragglers don't dominate
+        spark.range(0, rows, 1, cpus * 4).select(F.max(col)).collect()
+        runs.append((time.time() - t0, _steal_pct(j0, _cpu_jiffies())))
+    warm = runs[1:] if len(runs) > 1 else runs
+    elapsed = min(e for e, _ in warm)
+    print(json.dumps({"cpus": cpus, "elapsed_sec": round(elapsed, 2),
+                      "all_runs_sec": [round(e, 2) for e, _ in runs],
+                      "steal_pct": [s for _, s in runs],
+                      "urls": rows,
+                      "urls_per_sec": round(rows / elapsed, 1)}))
+
+
 def crawl_throughput_worker(cpus: int, corpus: str) -> None:
     """Subprocess entry: one full-frontier round, prints urls/sec JSON."""
     import shutil
@@ -507,6 +543,25 @@ def run_scaling(corpus: str) -> dict:
     tn = best_n["urls_per_sec"]
     t4n = best_4n["urls_per_sec"]
     full_extra = {"full_round_phases": full.get("phases", {})}
+    # compute-bound control (r3 verdict item 4): one adjacent N/4N pair
+    # of the cache-resident xxhash job — its efficiency is the engine's
+    # scaling with the DRAM ceiling removed (see compute_throughput_worker)
+    compute_control: dict = {}
+    try:
+        cn = _run_worker("_compute", n_cores, corpus)
+        c4n = _run_worker("_compute", n4_cores, corpus)
+        compute_control = {
+            "n_rows_per_sec": cn["urls_per_sec"],
+            "n4_rows_per_sec": c4n["urls_per_sec"],
+            "n_steal_pct": cn.get("steal_pct"),
+            "n4_steal_pct": c4n.get("steal_pct"),
+            "efficiency": round(
+                c4n["urls_per_sec"]
+                / ((n4_cores / n_cores) * cn["urls_per_sec"]), 3
+            ),
+        }
+    except Exception as exc:  # control must never sink the record
+        compute_control = {"error": repr(exc)[:200]}
     return {
         "core_n_cores": n_cores,
         "core_4n_cores": n4_cores,
@@ -557,6 +612,7 @@ def run_scaling(corpus: str) -> dict:
         # best_pair_efficiency; per-cycle raw numbers are in core_cycles.
         "scaling_efficiency": round(median_eff, 3),
         "best_pair_efficiency": round(t4n / (4 * tn), 3),
+        "compute_control": compute_control,
         "full_round_local32_urls_per_sec": full["urls_per_sec"],
         "full_round_local32_elapsed_sec": full["elapsed_sec"],
         "urls_per_round": full["urls"],
@@ -627,6 +683,9 @@ def main() -> None:
         "scaling_efficiency_vs_host_capacity": scaling.get(
             "scaling_efficiency_vs_host_capacity"
         ),
+        "compute_control_efficiency": (
+            scaling.get("compute_control", {}).get("efficiency")
+        ),
         "core_n_urls_per_sec": scaling.get("core_n_urls_per_sec"),
         "core_4n_urls_per_sec": scaling.get("core_4n_urls_per_sec"),
         "full_round_local32_urls_per_sec": scaling.get(
@@ -650,5 +709,7 @@ if __name__ == "__main__":
         crawl_throughput_worker(int(sys.argv[2]), sys.argv[3])
     elif len(sys.argv) > 1 and sys.argv[1] == "_core":
         core_throughput_worker(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "_compute":
+        compute_throughput_worker(int(sys.argv[2]), sys.argv[3])
     else:
         main()

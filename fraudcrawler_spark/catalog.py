@@ -24,6 +24,11 @@ emulation here, and flips to Iceberg on any environment where the jar is
 on the classpath (e.g. ``spark-submit --packages org.apache.iceberg:
 iceberg-spark-runtime-4.1_2.13:<version>`` or SPARK_GRAFT_ICEBERG_JAR) —
 no code change needed, same CrawlState API either way.
+
+Re-attempted r4 (2026-08-17): urllib to repo1.maven.org → DNS gaierror
+(-2), ``pip download pyiceberg`` → no route, full-disk ``find`` for any
+iceberg/delta/hudi jar → none. Conclusion unchanged: the runtime branch
+is exercisable only outside this sandbox.
 """
 
 from __future__ import annotations
