@@ -59,10 +59,15 @@ HEADLINE = [
     "decontaminate",
     "pagerank_priority",
     "dedup_clusters",
-    # r3 flagship composites (neardup_resolution stays out: its 8
-    # min-label iterations cost ~30 s of pure stage overhead at toy
-    # scale — measured, not a plan defect; see PLANS.md)
+    # r3 flagship composites; neardup_resolution joined in r4 — the
+    # alternating-star components converge in ~4 rounds at this scale
+    # (5.7 s at 50k docs), retiring the 8-round min-label overhead that
+    # kept it out in r3
     "corpus_to_shards",
+    "neardup_resolution",
+    # r4: real BMP decode + eval harnesses
+    "image_decode",
+    "quality_eval",
     "sessionize",
     # rows-only composites (fixed in r2: map flattened for the driver canon)
     "crawl_pipeline",
