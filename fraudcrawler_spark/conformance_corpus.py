@@ -573,3 +573,277 @@ SELECT pii_type,
         / GREATEST(SUM(tru::INT), 1), 4) AS recall
 FROM z GROUP BY pii_type
 """
+
+
+# --------------------------------------------------------------------------
+# r4 additions: intra-doc paragraph dedup, URL quality heuristics, and the
+# filter-funnel attrition report
+# --------------------------------------------------------------------------
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Intra-document repeated-line removal (the MassiveText/RefinedWeb
+    in-doc repetition scrub — distinct from cross-doc passage dedup):
+    split on newline, keep the FIRST occurrence of every line in
+    original order, rejoin. Runs over the deterministically-noised text
+    (conformance_ml._noisy_text_expr) so repeated boilerplate actually
+    exists. Spark's array_distinct preserves first-occurrence order
+    (pinned by the oracle: the DuckDB twin constructs first-occurrence
+    order explicitly with a min-position window). Pure per-row array
+    expressions — zero shuffles, trivially 100 TB-safe.
+    """
+    from fraudcrawler_spark.conformance_ml import _noisy_text_expr
+
+    d = _t(spark, sf_dir, "documents").withColumn("text", _noisy_text_expr())
+    lines = F.split(F.col("text"), "\n")
+    dedup = F.array_distinct(lines)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(dedup)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(dedup, "\n")).alias("clean_hash"),
+        F.length(F.array_join(dedup, "\n")).cast("long").alias("clean_len"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH noised AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN text || repeat(chr(10) || 'lorem spam line', 6)
+         WHEN doc_id % 17 = 0 THEN text || repeat(' @#$%!', 20)
+         ELSE text END AS text
+  FROM documents
+),
+base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM noised),
+pos AS (
+  SELECT doc_id, ls[i] AS line, i
+  FROM base, UNNEST(generate_series(1, len(ls))) AS t(i)
+),
+firsts AS (
+  SELECT doc_id, line, i,
+         MIN(i) OVER (PARTITION BY doc_id, line) AS first_i
+  FROM pos
+),
+clean AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS cleaned
+  FROM firsts WHERE i = first_i GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CAST(len(b.ls) AS BIGINT) AS n_lines,
+  CAST(len(b.ls) - (SELECT COUNT(*) FROM firsts f
+                    WHERE f.doc_id = b.doc_id AND f.i = f.first_i) AS BIGINT)
+    AS n_removed,
+  md5(c.cleaned) AS clean_hash,
+  CAST(length(c.cleaned) AS BIGINT) AS clean_len
+FROM base b JOIN clean c USING (doc_id)
+"""
+
+
+_URL_SPAM_RE = "(?i)(casino|viagra|xxx|free-money|replica)"
+
+
+def q_url_quality(spark, sf_dir):
+    """URL-level quality heuristics (the RefinedWeb/UT1-blocklist family:
+    filter BEFORE fetching or tokenizing — the cheapest quality gate a
+    crawl pipeline has): per-url path depth, query-parameter count,
+    digit fraction of the path, spam-word hit, and the resulting keep
+    flag, over the crawl corpus pages table. (The digit-fraction cut is
+    0.9 here — ID-only paths — because the synthetic corpus urls are
+    /p<number> shaped; published pipelines use ~0.5 on organic urls.) Pure codegen regex/string
+    expressions, zero exchanges, scan prunes to the url column alone.
+    """
+    import os
+
+    from fraudcrawler_spark.registry import _crawl_corpus
+
+    pages = spark.read.parquet(os.path.join(_crawl_corpus(), "pages.parquet"))
+    # deterministic URL-noise injection (corpus urls are uniform /p<number>
+    # — without this every signal is constant and the oracle proves
+    # nothing): every 9th page id gains a tracking-param tail, every 23rd
+    # a spam path segment, every 31st a deep digit-id path
+    pid = F.regexp_extract(F.col("url"), r"p(\d{6})", 1).cast("int")
+    noisy_url = F.concat(
+        F.col("url"),
+        F.when(F.pmod(pid, F.lit(31)) == 0,
+               F.concat(F.lit("/9"), F.lpad(pid.cast("string"), 12, "0"),
+                        F.lit("/x/y/z/w/v/u"))).otherwise(F.lit("")),
+        F.when(F.pmod(pid, F.lit(23)) == 0,
+               F.lit("/casino-bonus")).otherwise(F.lit("")),
+        F.when(F.pmod(pid, F.lit(9)) == 0,
+               F.lit("?utm=1&ref=2&a=3&b=4&c=5")).otherwise(F.lit("")),
+    )
+    pages = pages.select(F.col("url").alias("orig_url"),
+                         noisy_url.alias("url"))
+    path = F.regexp_replace(F.col("url"), r"^https?://[^/]*", "")
+    path_only = F.regexp_replace(path, r"\?.*$", "")
+    q = F.regexp_extract(F.col("url"), r"\?(.*)$", 1)
+    n_params = F.when(q == "", F.lit(0)).otherwise(
+        F.size(F.split(q, "&"))
+    )
+    n_digits = F.length(F.regexp_replace(path_only, r"[^0-9]", ""))
+    digit_frac = F.round(
+        n_digits / F.greatest(F.length(path_only), F.lit(1)), 4
+    )
+    depth = F.when(
+        F.regexp_replace(path_only, "/+$", "") == "", F.lit(0)
+    ).otherwise(
+        F.size(F.split(F.regexp_replace(path_only, "/+$", ""), "/")) - 1
+    )
+    spam = F.regexp_count(F.col("url"), F.lit(_URL_SPAM_RE)) > 0
+    keep = (
+        (F.length(F.col("url")) <= 200)
+        & (depth <= 6)
+        & (n_params.cast("int") <= 4)
+        & (digit_frac <= 0.9)
+        & ~spam
+    )
+    return pages.select(
+        F.col("orig_url").alias("url"),
+        depth.cast("long").alias("path_depth"),
+        n_params.cast("long").alias("n_params"),
+        digit_frac.alias("digit_frac"),
+        spam.alias("spam_hit"),
+        keep.alias("keep"),
+    )
+
+
+def _sql_url_quality() -> str:
+    from fraudcrawler_spark.registry import _corpus_sql_dir
+
+    return rf"""
+WITH p0 AS (SELECT url AS orig_url,
+        CAST(regexp_extract(url, 'p(\d{{6}})', 1) AS INT) AS pid
+      FROM read_parquet('{_corpus_sql_dir()}/pages.parquet')),
+p AS (
+  SELECT orig_url,
+    orig_url
+    || CASE WHEN pid % 31 = 0
+            THEN '/9' || lpad(CAST(pid AS VARCHAR), 12, '0') || '/x/y/z/w/v/u'
+            ELSE '' END
+    || CASE WHEN pid % 23 = 0 THEN '/casino-bonus' ELSE '' END
+    || CASE WHEN pid % 9 = 0 THEN '?utm=1&ref=2&a=3&b=4&c=5' ELSE '' END
+      AS url
+  FROM p0
+),
+parts AS (
+  SELECT orig_url, url,
+    regexp_replace(regexp_replace(url, '^https?://[^/]*', ''), '\?.*$', '')
+      AS path_only,
+    regexp_extract(url, '\?(.*)$', 1) AS q
+  FROM p
+),
+m AS (
+  SELECT orig_url, path_only,
+    CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS n_params,
+    length(regexp_replace(path_only, '[^0-9]', '', 'g')) AS n_digits,
+    CASE WHEN regexp_replace(path_only, '/+$', '') = '' THEN 0
+         ELSE len(string_split(regexp_replace(path_only, '/+$', ''), '/')) - 1
+    END AS path_depth,
+    regexp_matches(url, '(?i)(casino|viagra|xxx|free-money|replica)') AS spam_hit
+  FROM parts
+)
+SELECT orig_url AS url,
+  CAST(path_depth AS BIGINT) AS path_depth,
+  CAST(n_params AS BIGINT) AS n_params,
+  ROUND(n_digits::DOUBLE / GREATEST(length(path_only), 1), 4) AS digit_frac,
+  spam_hit,
+  (length(url) <= 200 AND path_depth <= 6 AND n_params <= 4
+   AND n_digits::DOUBLE / GREATEST(length(path_only), 1) <= 0.9
+   AND NOT spam_hit) AS keep
+FROM m
+"""
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Filter-funnel attrition report: the per-stage survivor counts a
+    production corpus pipeline publishes with every run (what fraction
+    did the length gate drop? the quality gate? the PII gate?). Stages
+    chain: total → len_ok (≥200 chars) → quality_ok (Gopher gate) →
+    pii_clean. ONE scan computes all flags (quality signals + PII
+    regexes per row), one single-row aggregation, then a 4-row explode —
+    no per-stage jobs, so the report costs one pass at any scale.
+    """
+    from fraudcrawler_spark.conformance_ml import q_text_quality
+
+    qual = q_text_quality(spark, sf_dir).select(
+        "doc_id", "n_chars_calc", "dup_line_frac", "symbol_word_ratio"
+    )
+    pii = q_pii_scrub(spark, sf_dir).select("doc_id", "has_pii")
+    j = qual.join(pii, "doc_id")
+    len_ok = F.col("n_chars_calc") >= 200
+    quality_ok = len_ok & ~(
+        (F.col("dup_line_frac") > 0.30) | (F.col("symbol_word_ratio") > 0.10)
+    )
+    pii_clean = quality_ok & ~F.col("has_pii")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(len_ok.cast("int")).alias("s1"),
+        F.sum(quality_ok.cast("int")).alias("s2"),
+        F.sum(pii_clean.cast("int")).alias("s3"),
+    )
+    row = F.explode(
+        F.array(
+            F.struct(F.lit(0).alias("stage_idx"), F.lit("total").alias("stage"),
+                     F.col("total").alias("n_docs"), F.col("total").alias("prev")),
+            F.struct(F.lit(1).alias("stage_idx"), F.lit("len_ok").alias("stage"),
+                     F.col("s1").alias("n_docs"), F.col("total").alias("prev")),
+            F.struct(F.lit(2).alias("stage_idx"), F.lit("quality_ok").alias("stage"),
+                     F.col("s2").alias("n_docs"), F.col("s1").alias("prev")),
+            F.struct(F.lit(3).alias("stage_idx"), F.lit("pii_clean").alias("stage"),
+                     F.col("s3").alias("n_docs"), F.col("s2").alias("prev")),
+        )
+    )
+    return agg.select(row.alias("z"), F.col("total")).select(
+        F.col("z.stage_idx").cast("int").alias("stage_idx"),
+        F.col("z.stage").alias("stage"),
+        F.col("z.n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("z.n_docs") / F.col("total"), 4).alias("frac_of_total"),
+        F.round(F.col("z.n_docs") / F.greatest(F.col("z.prev"), F.lit(1)), 4)
+        .alias("frac_of_prev"),
+    )
+
+
+def _sql_filter_funnel() -> str:
+    from fraudcrawler_spark.conformance_ml import SQL_TEXT_QUALITY
+
+    return f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+pii AS (
+  SELECT doc_id,
+    (len(regexp_extract_all({_PII_TEXT_SQL}, '{_RE_EMAIL}'))
+     + len(regexp_extract_all({_PII_TEXT_SQL}, '{_RE_PHONE}'))
+     + len(regexp_extract_all({_PII_TEXT_SQL}, '{_RE_IP}'))) > 0 AS has_pii
+  FROM documents
+),
+j AS (
+  SELECT q.doc_id, q.n_chars_calc, q.dup_line_frac, q.symbol_word_ratio,
+         pii.has_pii
+  FROM q JOIN pii USING (doc_id)
+),
+f AS (
+  SELECT COUNT(*) AS total,
+    SUM((n_chars_calc >= 200)::INT) AS s1,
+    SUM((n_chars_calc >= 200
+         AND NOT (dup_line_frac > 0.30 OR symbol_word_ratio > 0.10))::INT) AS s2,
+    SUM((n_chars_calc >= 200
+         AND NOT (dup_line_frac > 0.30 OR symbol_word_ratio > 0.10)
+         AND NOT has_pii)::INT) AS s3
+  FROM j
+)
+SELECT 0 AS stage_idx, 'total' AS stage, CAST(total AS BIGINT) AS n_docs,
+       ROUND(total::DOUBLE / total, 4) AS frac_of_total,
+       ROUND(total::DOUBLE / GREATEST(total, 1), 4) AS frac_of_prev
+FROM f
+UNION ALL
+SELECT 1, 'len_ok', CAST(s1 AS BIGINT),
+       ROUND(s1::DOUBLE / total, 4), ROUND(s1::DOUBLE / GREATEST(total, 1), 4)
+FROM f
+UNION ALL
+SELECT 2, 'quality_ok', CAST(s2 AS BIGINT),
+       ROUND(s2::DOUBLE / total, 4), ROUND(s2::DOUBLE / GREATEST(s1, 1), 4)
+FROM f
+UNION ALL
+SELECT 3, 'pii_clean', CAST(s3 AS BIGINT),
+       ROUND(s3::DOUBLE / total, 4), ROUND(s3::DOUBLE / GREATEST(s2, 1), 4)
+FROM f
+"""

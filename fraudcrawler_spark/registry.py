@@ -97,6 +97,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # scrub and the Gopher quality gate — langid_eval/lsh_eval family
     "pii_eval": (cc.q_pii_eval, cc.SQL_PII_EVAL),
     "quality_eval": (m.q_quality_eval, m.SQL_QUALITY_EVAL),
+    # r4 corpus additions: intra-doc repetition scrub (MassiveText),
+    # URL-heuristic pre-fetch gate (RefinedWeb/UT1), per-stage attrition
+    "paragraph_dedup": (cc.q_paragraph_dedup, cc.SQL_PARAGRAPH_DEDUP),
+    "filter_funnel": (cc.q_filter_funnel, cc._sql_filter_funnel()),
     "tfidf_keywords": (cc.q_tfidf_keywords, cc.SQL_TFIDF_KEYWORDS),
     "skew_report": (cc.q_skew_report, cc.SQL_SKEW_REPORT),
     # graph stage (r3): near-dup clusters (connected components, recursive-
@@ -582,6 +586,15 @@ FROM e GROUP BY target
 
 REGISTRY["anchor_text_agg"] = (q_anchor_text_agg, SQL_ANCHOR_TEXT)
 
+# r4: URL-heuristic quality gate over the crawl corpus (SQL twin is built
+# lazily — it embeds the corpus path)
+from fraudcrawler_spark.conformance_corpus import (  # noqa: E402
+    _sql_url_quality,
+    q_url_quality,
+)
+
+REGISTRY["url_quality"] = (q_url_quality, _sql_url_quality())
+
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window streaming aggregation (F.session_window, 30-min
@@ -831,6 +844,10 @@ _DRIVER_WINDOW: list[str] = [
     # r4: eval harnesses
     "pii_eval",
     "quality_eval",
+    # r4: corpus additions
+    "paragraph_dedup",
+    "url_quality",
+    "filter_funnel",
     # ---- veterans re-filling the window to 50 (already green in r03) ----
     "pricing_summary",
     "pipeline_composite",
@@ -841,7 +858,4 @@ _DRIVER_WINDOW: list[str] = [
     "ann_lsh_multi",
     "ann_ivf",
     "events_window_agg",
-    "multimodal_meta",
-    "classify",
-    "market_share",
 ]

@@ -420,3 +420,22 @@ def test_neardup_resolution_composite_shape(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_paragraph_dedup_zero_exchanges(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_paragraph_dedup
+
+    p = _plan(spark, q_paragraph_dedup(spark, sf_dir))
+    # pure per-row array expressions: split → array_distinct → rejoin
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+    assert "EvalPython" not in p
+
+
+def test_url_quality_zero_exchanges_pruned_scan(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_url_quality
+
+    p = _plan(spark, q_url_quality(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+    assert "EvalPython" not in p
+    # the pre-fetch gate reads the url column alone — never html
+    assert "html" not in p
