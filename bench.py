@@ -444,6 +444,27 @@ def _safe_bandwidth(n: int, n4: int) -> float | None:
         return None
 
 
+def apply_host_ceilings(scaling: dict) -> dict:
+    """Fold the host capacity/bandwidth probes and the derived
+    ceiling-normalized ratios into a scaling record — the ONE place this
+    formula lives (bench main() and scripts/scaling_retry.py both use it,
+    so the two paths can never fold inconsistent numbers)."""
+    cap = host_parallel_capacity(8)
+    scaling["host_parallel_capacity_8way"] = cap
+    if cap > 0:
+        scaling["scaling_efficiency_vs_host_capacity"] = round(
+            min(1.0, scaling["scaling_efficiency"] / cap), 3
+        )
+    bw = scaling.get("host_bandwidth_scaling_2to8") or 0
+    if bw > 0:
+        # shuffle-heavy stages are DRAM-bandwidth-bound; the memcpy
+        # ceiling is the honest upper bound for their N→4N ratio
+        scaling["scaling_efficiency_vs_bandwidth"] = round(
+            min(1.0, scaling["scaling_efficiency"] / bw), 3
+        )
+    return scaling
+
+
 def run_scaling(corpus: str) -> dict:
     """N vs 4N cores on the single-DAG round core (local[2] vs local[8]:
     both JVM-thread + python-worker pairs fit in the 32-cpu host without
@@ -641,20 +662,7 @@ def main() -> None:
             scale_paths = run_scale_paths(sf_dir, cpus)
         except Exception as e:
             scale_paths = {"error": repr(e)[:200]}
-        scaling = run_scaling(corpus)
-        cap = host_parallel_capacity(8)
-        scaling["host_parallel_capacity_8way"] = cap
-        if cap > 0:
-            scaling["scaling_efficiency_vs_host_capacity"] = round(
-                min(1.0, scaling["scaling_efficiency"] / cap), 3
-            )
-        bw = scaling.get("host_bandwidth_scaling_2to8") or 0
-        if bw > 0:
-            # shuffle-heavy stages are DRAM-bandwidth-bound; the memcpy
-            # ceiling is the honest upper bound for their N→4N ratio
-            scaling["scaling_efficiency_vs_bandwidth"] = round(
-                min(1.0, scaling["scaling_efficiency"] / bw), 3
-            )
+        scaling = apply_host_ceilings(run_scaling(corpus))
     except Exception as e:  # partial results beat no results
         scaling.setdefault("error", repr(e)[:200])
         scaling.setdefault("core_4n_urls_per_sec", 0.0)

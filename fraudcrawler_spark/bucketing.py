@@ -52,7 +52,9 @@ def _managed_location(spark: SparkSession, table: str) -> str | None:
     if wh is None:
         return None
     parts = table.lower().split(".")
-    if len(parts) == 2:
+    # default-database tables live at wh/<tbl> (no default.db/ level);
+    # any other database at wh/<db>.db/<tbl>
+    if len(parts) == 2 and parts[0] != "default":
         return os.path.join(wh, f"{parts[0]}.db", parts[1])
     return os.path.join(wh, parts[-1])
 

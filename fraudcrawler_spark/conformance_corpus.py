@@ -606,13 +606,11 @@ def q_paragraph_dedup(spark, sf_dir):
     )
 
 
-SQL_PARAGRAPH_DEDUP = """
+from fraudcrawler_spark.conformance_ml import _NOISY_TEXT_SQL  # noqa: E402
+
+SQL_PARAGRAPH_DEDUP = f"""
 WITH noised AS (
-  SELECT doc_id,
-    CASE WHEN doc_id % 13 = 0 THEN text || repeat(chr(10) || 'lorem spam line', 6)
-         WHEN doc_id % 17 = 0 THEN text || repeat(' @#$%!', 20)
-         ELSE text END AS text
-  FROM documents
+  SELECT doc_id, {_NOISY_TEXT_SQL} AS text FROM documents
 ),
 base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM noised),
 pos AS (

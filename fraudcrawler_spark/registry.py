@@ -857,5 +857,10 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_simhash64",
     "ann_lsh_multi",
     "ann_ivf",
-    "events_window_agg",
 ]
+
+# the driver correctness gate checks exactly the first 50 queries() —
+# an oversized list silently pushes its own tail out of the window
+assert len(_DRIVER_WINDOW) <= 50, (
+    f"_DRIVER_WINDOW has {len(_DRIVER_WINDOW)} entries; trim veterans"
+)

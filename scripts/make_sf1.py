@@ -28,14 +28,6 @@ import pandas as pd
 
 K = 10  # replicas: sf0.1 -> sf1.0
 
-STRIDES = {
-    "customer": ("c_custkey", 15_000),
-    "supplier": ("s_suppkey", 1_000),
-    "part": ("p_partkey", 20_000),
-    "orders": ("o_orderkey", None),  # sparse keys: stride = max+1
-    "events": ("event_id", 100_000),
-}
-
 
 def main(out_dir: str, src: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -57,53 +49,61 @@ def main(out_dir: str, src: str) -> None:
     for t in ("region", "nation"):
         write(t, f"SELECT * FROM {src_tbl(t)}")
 
-    ok_stride = con.sql(
-        f"SELECT MAX(o_orderkey) + 1 FROM {src_tbl('orders')}"
-    ).fetchone()[0]
-    uid_stride = con.sql(
-        f"SELECT MAX(user_id) + 1 FROM {src_tbl('events')}"
-    ).fetchone()[0]
+    # every stride is MAX(key)+1 from the actual source data — hard-coded
+    # strides silently produce colliding keys if the generator ever grows
+    def stride(table: str, key: str) -> int:
+        return con.sql(
+            f"SELECT MAX({key}) + 1 FROM {src_tbl(table)}"
+        ).fetchone()[0]
+
+    ck = stride("customer", "c_custkey")
+    sk = stride("supplier", "s_suppkey")
+    pk = stride("part", "p_partkey")
+    ok_stride = stride("orders", "o_orderkey")
+    ek = stride("events", "event_id")
+    uid_stride = stride("events", "user_id")
+    dk = stride("documents", "doc_id")
 
     write("customer", f"""
-        SELECT c_custkey + k * 15000 AS c_custkey,
+        SELECT c_custkey + k * {ck} AS c_custkey,
                CASE WHEN k = 0 THEN c_name ELSE c_name || '-r' || k END AS c_name,
                c_nationkey, c_acctbal, c_mktsegment
         FROM {src_tbl('customer')}, generate_series(0, {K - 1}) AS g(k)
     """)
     write("supplier", f"""
-        SELECT s_suppkey + k * 1000 AS s_suppkey,
+        SELECT s_suppkey + k * {sk} AS s_suppkey,
                CASE WHEN k = 0 THEN s_name ELSE s_name || '-r' || k END AS s_name,
                s_nationkey, s_acctbal
         FROM {src_tbl('supplier')}, generate_series(0, {K - 1}) AS g(k)
     """)
     write("part", f"""
-        SELECT p_partkey + k * 20000 AS p_partkey,
+        SELECT p_partkey + k * {pk} AS p_partkey,
                CASE WHEN k = 0 THEN p_name ELSE p_name || ' r' || k END AS p_name,
                p_brand, p_type, p_size, p_retailprice
         FROM {src_tbl('part')}, generate_series(0, {K - 1}) AS g(k)
     """)
     write("orders", f"""
         SELECT o_orderkey + k * {ok_stride} AS o_orderkey,
-               o_custkey + k * 15000 AS o_custkey,
+               o_custkey + k * {ck} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM {src_tbl('orders')}, generate_series(0, {K - 1}) AS g(k)
     """)
     write("lineitem", f"""
         SELECT l_orderkey + k * {ok_stride} AS l_orderkey,
-               l_partkey + k * 20000 AS l_partkey,
-               l_suppkey + k * 1000 AS l_suppkey,
+               l_partkey + k * {pk} AS l_partkey,
+               l_suppkey + k * {sk} AS l_suppkey,
                l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
                l_returnflag, l_linestatus, l_shipdate
         FROM {src_tbl('lineitem')}, generate_series(0, {K - 1}) AS g(k)
     """)
     write("events", f"""
-        SELECT event_id + k * 100000 AS event_id, ts,
+        SELECT event_id + k * {ek} AS event_id, ts,
                user_id + k * {uid_stride} AS user_id,
                event_type, value, props
         FROM {src_tbl('events')}, generate_series(0, {K - 1}) AS g(k)
     """)
     write("documents", f"""
-        SELECT doc_id + k * 5000 AS doc_id,
+        SELECT doc_id + k * {dk} AS doc_id,
                CASE WHEN k = 0 THEN text ELSE text || ' rep' || k END AS text,
                lang, source,
                CAST(length(CASE WHEN k = 0 THEN text

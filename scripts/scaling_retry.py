@@ -21,18 +21,7 @@ import bench  # noqa: E402
 
 def main() -> None:
     corpus = bench._bench_corpus()
-    scaling = bench.run_scaling(corpus)
-    cap = bench.host_parallel_capacity(8)
-    scaling["host_parallel_capacity_8way"] = cap
-    if cap > 0:
-        scaling["scaling_efficiency_vs_host_capacity"] = round(
-            min(1.0, scaling["scaling_efficiency"] / cap), 3
-        )
-    bw = scaling.get("host_bandwidth_scaling_2to8") or 0
-    if bw > 0:
-        scaling["scaling_efficiency_vs_bandwidth"] = round(
-            min(1.0, scaling["scaling_efficiency"] / bw), 3
-        )
+    scaling = bench.apply_host_ceilings(bench.run_scaling(corpus))
     summary = {
         "scaling_efficiency": scaling.get("scaling_efficiency"),
         "best_pair_efficiency": scaling.get("best_pair_efficiency"),
