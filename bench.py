@@ -646,6 +646,45 @@ def run_scaling(corpus: str) -> dict:
     }
 
 
+def compact_headline_line(timings: dict, scaling: dict, sf: float) -> str:
+    """The FINAL stdout line: a compact headline JSON guaranteed to fit
+    the driver's ~2 KB output-tail capture (r3 defect 2). Full detail
+    lives in BENCH_FULL.json."""
+    compact = {
+        "metric": "frontier throughput (URLs scheduled+deduped/sec)",
+        "value": scaling.get("core_4n_urls_per_sec", 0.0),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "scaling_efficiency": scaling.get("scaling_efficiency"),
+        "best_pair_efficiency": scaling.get("best_pair_efficiency"),
+        "scaling_efficiency_vs_bandwidth": scaling.get(
+            "scaling_efficiency_vs_bandwidth"
+        ),
+        "scaling_efficiency_vs_host_capacity": scaling.get(
+            "scaling_efficiency_vs_host_capacity"
+        ),
+        "compute_control_efficiency": (
+            scaling.get("compute_control", {}).get("efficiency")
+        ),
+        "core_n_urls_per_sec": scaling.get("core_n_urls_per_sec"),
+        "core_4n_urls_per_sec": scaling.get("core_4n_urls_per_sec"),
+        "full_round_local32_urls_per_sec": scaling.get(
+            "full_round_local32_urls_per_sec"
+        ),
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the capture
+        compact["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        }
+        compact["queries_truncated_see_detail"] = True
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -682,39 +721,7 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full_record, f, indent=1)
-    compact = {
-        "metric": "frontier throughput (URLs scheduled+deduped/sec)",
-        "value": scaling.get("core_4n_urls_per_sec", 0.0),
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "sf": sf,
-        "scaling_efficiency": scaling.get("scaling_efficiency"),
-        "best_pair_efficiency": scaling.get("best_pair_efficiency"),
-        "scaling_efficiency_vs_bandwidth": scaling.get(
-            "scaling_efficiency_vs_bandwidth"
-        ),
-        "scaling_efficiency_vs_host_capacity": scaling.get(
-            "scaling_efficiency_vs_host_capacity"
-        ),
-        "compute_control_efficiency": (
-            scaling.get("compute_control", {}).get("efficiency")
-        ),
-        "core_n_urls_per_sec": scaling.get("core_n_urls_per_sec"),
-        "core_4n_urls_per_sec": scaling.get("core_4n_urls_per_sec"),
-        "full_round_local32_urls_per_sec": scaling.get(
-            "full_round_local32_urls_per_sec"
-        ),
-        "detail": "BENCH_FULL.json",
-    }
-    line = json.dumps(compact)
-    if len(line) > 1800:  # belt-and-braces: never outgrow the capture
-        compact["queries"] = {
-            k: round(v, 2)
-            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:20]
-        }
-        compact["queries_truncated_see_detail"] = True
-        line = json.dumps(compact)
-    print(line)
+    print(compact_headline_line(timings, scaling, sf))
 
 
 if __name__ == "__main__":
