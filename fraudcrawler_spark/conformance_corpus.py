@@ -845,3 +845,120 @@ SELECT 3, 'pii_clean', CAST(s3 AS BIGINT),
        ROUND(s3::DOUBLE / total, 4), ROUND(s3::DOUBLE / GREATEST(s2, 1), 4)
 FROM f
 """
+
+
+# --------------------------------------------------------------------------
+# r4: decontamination evaluation harness (completes the eval pattern:
+# langid_eval / lsh_eval / pii_eval / quality_eval → decontaminate_eval)
+# --------------------------------------------------------------------------
+
+# 20 distinct tokens ⇒ 18 distinct trigrams; appended to every eval doc and
+# to the injected-contamination train docs, so ground truth is exact by
+# construction (as with _pii_text_expr's modular injections).
+_DECON_CANARY = (
+    "benchmark canary alpha bravo charlie delta echo foxtrot golf hotel "
+    "india juliett kilo lima mike november oscar papa quebec romeo"
+)
+_DECON_INJECT_MOD = 17  # train docs with doc_id % 17 == 0 get the canary
+
+
+def q_decontaminate_eval(spark, sf_dir):
+    """Decontamination-detector evaluation (r3 verdict item 8 pattern):
+    plant a verbatim 20-token canary passage in every eval doc
+    (doc_id % 97 == 0) AND in a known subset of train docs
+    (doc_id % 17 == 0), run the same k-gram-overlap detector as
+    q_decontaminate over the injected corpus, and score it against the
+    construction-exact truth. Docs shorter than ~350 tokens are pushed
+    over the 5% overlap threshold by 18 canary trigrams, so at this
+    corpus's 10-99 token range recall measures the detector end-to-end;
+    FP counts organic train/eval trigram collisions that clear 5% on
+    their own — the number a 100-TB decontamination pass must report
+    before it deletes real data. Same plan as q_decontaminate (distinct
+    grams, broadcast eval-gram join, one hash agg) plus a final
+    single-row confusion rollup.
+    """
+    did = F.col("doc_id")
+    is_eval = F.pmod(did, F.lit(97)) == 0
+    inject = is_eval | (F.pmod(did, F.lit(_DECON_INJECT_MOD)) == 0)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            inject, F.concat(F.lower("text"), F.lit(" " + _DECON_CANARY))
+        ).otherwise(F.lower("text")).alias("txt"),
+    )
+    toks = docs.select("doc_id", F.split("txt", " ").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    grams = toks.select(
+        "doc_id", F.explode(_gram_array(F.col("toks"), F.col("n"))).alias("g")
+    ).distinct()
+    eval_g = (
+        grams.filter(F.pmod("doc_id", F.lit(97)) == 0)
+        .select("g").distinct().withColumn("hit", F.lit(1))
+    )
+    train_g = grams.filter(F.pmod("doc_id", F.lit(97)) != 0)
+    frac = F.coalesce(F.sum("hit") / F.count(F.lit(1)), F.lit(0.0))
+    per_doc = (
+        train_g.join(F.broadcast(eval_g), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            (frac > 0.05).alias("det"),
+            (F.pmod(F.first("doc_id"), F.lit(_DECON_INJECT_MOD)) == 0).alias("tru"),
+        )
+    )
+    tp = F.sum((F.col("tru") & F.col("det")).cast("int")).cast("long")
+    fp = F.sum((~F.col("tru") & F.col("det")).cast("int")).cast("long")
+    fn = F.sum((F.col("tru") & ~F.col("det")).cast("int")).cast("long")
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(F.col("tru").cast("int")).cast("long").alias("n_true"),
+        F.sum(F.col("det").cast("int")).cast("long").alias("n_detected"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(tp / F.greatest(F.sum(F.col("det").cast("int")), F.lit(1)), 4).alias(
+            "precision"
+        ),
+        F.round(tp / F.greatest(F.sum(F.col("tru").cast("int")), F.lit(1)), 4).alias(
+            "recall"
+        ),
+    )
+
+
+SQL_DECONTAMINATE_EVAL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 OR doc_id % {_DECON_INJECT_MOD} = 0
+              THEN lower(text) || ' {_DECON_CANARY}'
+              ELSE lower(text) END AS txt
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(txt, ' ') AS t FROM docs),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+per_doc AS (
+  SELECT tr.doc_id,
+         SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+           / COUNT(*) > 0.05 AS det,
+         tr.doc_id % {_DECON_INJECT_MOD} = 0 AS tru
+  FROM tr LEFT JOIN ev USING (g)
+  GROUP BY tr.doc_id
+)
+SELECT
+  COUNT(*) AS n_train,
+  CAST(SUM(tru::INT) AS BIGINT) AS n_true,
+  CAST(SUM(det::INT) AS BIGINT) AS n_detected,
+  CAST(SUM((tru AND det)::INT) AS BIGINT) AS tp,
+  CAST(SUM((NOT tru AND det)::INT) AS BIGINT) AS fp,
+  CAST(SUM((tru AND NOT det)::INT) AS BIGINT) AS fn,
+  ROUND(SUM((tru AND det)::INT)::DOUBLE / GREATEST(SUM(det::INT), 1), 4)
+    AS precision,
+  ROUND(SUM((tru AND det)::INT)::DOUBLE / GREATEST(SUM(tru::INT), 1), 4)
+    AS recall
+FROM per_doc
+"""

@@ -2056,3 +2056,130 @@ SELECT truth_class,
   ROUND(SUM(fl)::DOUBLE / COUNT(*), 4) AS flag_rate
 FROM lab GROUP BY truth_class
 """
+
+
+# --------------------------------------------------------------------------
+# r4: SemDeDup-style semantic dedup (cluster, then prune within cluster)
+# --------------------------------------------------------------------------
+
+_SEM_NC = 8      # coarse cells (same deterministic quantizer init as IVF)
+_SEM_MAX = 300   # oracle cap; the scale knob, like _IVF_DB_MAX
+_SEM_TAU = 0.35  # intra-cell cosine above this ⇒ semantic duplicate
+
+
+def q_semdedup(spark, sf_dir):
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv
+    2303.09540): assign every embedding to its nearest coarse centroid,
+    then compute cosine ONLY within each cell and drop every vector that
+    has a >= tau neighbor with a lower id in the same cell (keep-lowest-id
+    greedy — the paper keeps one exemplar per tight group; lowest-id is
+    the deterministic, SQL-expressible choice). This is the published
+    scale path for embedding dedup: clustering bounds the candidate set
+    so the pairwise stage is sum-of-squares of CELL sizes, never n²/2 —
+    at k cells of n/k vectors each the pair mass drops by k×, and k grows
+    with the corpus. Complements q_embedding_near_dup (all-pairs baseline
+    twin) and q_ann_lsh (hash-bucketed candidates); centroids here are
+    the deterministic first-k init — LEARNING them is orthogonal and
+    already demonstrated by q_ann_ivf's Lloyd passes.
+
+    Plan shape: one broadcast join (centroids are k×dim, always tiny) +
+    one per-vector argmax window + one intra-cell equi-join. No
+    CartesianProduct (pinned in tests/test_plans.py).
+
+    Output: one row per vector — (vec_id, cell, kept).
+    """
+    ex = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _SEM_MAX)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
+    )
+    cent = ex.where(F.col("vec_id") < _SEM_NC).select(
+        F.col("vec_id").alias("c"), "pos", F.col("val").alias("cv")
+    )
+    cnorm = cent.groupBy("c").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("_nc")
+    )
+
+    dc = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c")
+        .agg(F.sum(F.col("val") * F.col("cv")).alias("dot"))
+        .join(norms, "vec_id")
+        .join(F.broadcast(cnorm), "c")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("norm") * F.col("_nc")), 4))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c"))
+    cells = (
+        dc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", F.col("c").alias("cell"))
+    )
+
+    # intra-cell pairs only: equi-join on cell, a < b
+    xa = cells.select(F.col("vec_id").alias("a"), "cell")
+    xb = cells.select(F.col("vec_id").alias("b"), "cell")
+    cand = xa.join(xb, "cell").where(F.col("a") < F.col("b")).select("a", "b")
+    dots = (
+        cand.join(ex.select(F.col("vec_id").alias("a"), "pos", F.col("val").alias("va")), "a")
+        .join(ex.select(F.col("vec_id").alias("b"), "pos", F.col("val").alias("vb")), ["b", "pos"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        .join(norms.select(F.col("vec_id").alias("a"), F.col("norm").alias("_na")), "a")
+        .join(norms.select(F.col("vec_id").alias("b"), F.col("norm").alias("_nb")), "b")
+        .withColumn("cos", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 4))
+    )
+    dropped = (
+        dots.where(F.col("cos") >= _SEM_TAU).select(F.col("b").alias("vec_id")).distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("_drop").isNull().alias("kept"))
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH ex AS (
+  SELECT vec_id::BIGINT AS vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+  WHERE vec_id < {_SEM_MAX}
+),
+norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM ex GROUP BY vec_id),
+cent AS (SELECT vec_id AS c, pos, val AS cv FROM ex WHERE vec_id < {_SEM_NC}),
+cn AS (SELECT c, sqrt(SUM(cv * cv)) AS cnorm FROM cent GROUP BY c),
+dc AS (
+  SELECT ex.vec_id AS vec_id, ce.c AS c,
+         ROUND(SUM(ex.val * ce.cv) / (n.norm * cn.cnorm), 4) AS cos
+  FROM ex JOIN cent ce USING (pos)
+  JOIN norms n ON n.vec_id = ex.vec_id
+  JOIN cn ON cn.c = ce.c
+  GROUP BY ex.vec_id, ce.c, n.norm, cn.cnorm
+),
+cells AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c ASC) AS rn
+    FROM dc
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(SUM(e1.val * e2.val) / (na.norm * nb.norm), 4) AS cos
+  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN ex e1 ON e1.vec_id = x.vec_id
+  JOIN ex e2 ON e2.vec_id = y.vec_id AND e2.pos = e1.pos
+  JOIN norms na ON na.vec_id = x.vec_id
+  JOIN norms nb ON nb.vec_id = y.vec_id
+  GROUP BY x.vec_id, y.vec_id, na.norm, nb.norm
+),
+dropped AS (SELECT DISTINCT b AS vec_id FROM pairs WHERE cos >= {_SEM_TAU})
+SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+"""

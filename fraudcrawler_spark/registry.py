@@ -135,6 +135,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # flagship composite: prepared corpus → train split → shards → packed
     # contexts, every stage reusing an individually-oracled operator
     "corpus_to_shards": (cx.q_corpus_to_shards, cx.SQL_CORPUS_TO_SHARDS),
+    # r4: decontamination-detector eval (canary-injection confusion) and
+    # SemDeDup-style clustered semantic dedup (cell-bounded pair mass)
+    "decontaminate_eval": (cc.q_decontaminate_eval, cc.SQL_DECONTAMINATE_EVAL),
+    "semdedup": (m.q_semdedup, m.SQL_SEMDEDUP),
 }
 
 
@@ -848,6 +852,9 @@ _DRIVER_WINDOW: list[str] = [
     "paragraph_dedup",
     "url_quality",
     "filter_funnel",
+    # r4: decontamination eval + SemDeDup semantic dedup (never driver-run)
+    "decontaminate_eval",
+    "semdedup",
     # ---- veterans re-filling the window to 50 (already green in r03) ----
     "pricing_summary",
     "pipeline_composite",
@@ -855,8 +862,6 @@ _DRIVER_WINDOW: list[str] = [
     "frontier_order",
     "dedup_minhash_lsh",
     "dedup_simhash64",
-    "ann_lsh_multi",
-    "ann_ivf",
 ]
 
 # the driver correctness gate checks exactly the first 50 queries() —

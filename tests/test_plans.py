@@ -439,3 +439,26 @@ def test_url_quality_zero_exchanges_pruned_scan(spark, sf_dir):
     assert "EvalPython" not in p
     # the pre-fetch gate reads the url column alone — never html
     assert "html" not in p
+
+
+def test_semdedup_cell_bounded_no_cartesian(spark, sf_dir):
+    from fraudcrawler_spark.conformance_ml import q_semdedup
+
+    p = _plan(spark, q_semdedup(spark, sf_dir))
+    # centroid assignment broadcasts the k×dim table; the pairwise stage
+    # is an equi-join on the cell key — never all-pairs over vectors
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_decontaminate_eval_broadcast_eval_grams(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_decontaminate_eval
+
+    p = _plan(spark, q_decontaminate_eval(spark, sf_dir))
+    # eval-doc grams (the tiny side at scale) broadcast onto train grams,
+    # same shape as q_decontaminate; everything stays JVM-side
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
