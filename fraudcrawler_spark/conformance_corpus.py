@@ -962,3 +962,171 @@ SELECT
     AS recall
 FROM per_doc
 """
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning (Raffel et al. 2020 §2.2, the TensorFlow-Datasets c4
+# pipeline): line-level keeps (terminal punctuation + ≥5 words),
+# CROSS-CORPUS exact line dedup keeping the first occurrence, then
+# doc-level drops ("lorem ipsum", code brace, <3 surviving sentences).
+# Distinct from q_paragraph_dedup (intra-doc) and q_text_quality (Gopher
+# signals): the line dedup here is global — whether a doc keeps a line
+# depends on every other doc in the corpus.
+#
+# The synthetic documents table is newline- and punctuation-free, so the
+# text is deterministically "webified" first (same CASE in both engines):
+# an 8-word boilerplate line prepended to every 7th doc (the cross-doc
+# duplicate mass), a lorem-ipsum tail on every 13th, a code-brace tail on
+# every 19th, then chunked into 8-word lines; terminal punctuation is
+# assigned per line by length(line) % 3 (0→'.', 1→'!', 2→none) so ~1/3 of
+# lines fail the punctuation rule.
+#
+# Scale: one shuffle keyed on the line text for the keep-first window
+# (prod: hash the line to 128 bits first so the exchange carries 16-byte
+# keys, and salt the empty/boilerplate hot keys), one per-doc hash agg
+# for the rollup. Everything else is per-row codegen. 100 TB-safe.
+# --------------------------------------------------------------------------
+
+_C4_BOILER = "subscribe to our newsletter for daily updates now"
+_C4_LOREM = " lorem ipsum dolor sit amet consectetur adipiscing elit"
+_C4_BRACE = " config { javascript payload }"
+_C4_CHUNK_RE = r"((\S+ ){7}\S+) "
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 cleaning over the documents table: per-doc line counts through
+    each gate (punct/short filter → global first-occurrence line dedup →
+    doc-level lorem/brace/min-sentence drops) plus the cleaned-text hash
+    for surviving docs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boilered = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(F.lit(_C4_BOILER + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+    tailed = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+               F.concat(boilered, F.lit(_C4_LOREM)))
+        .when(F.pmod(F.col("doc_id"), F.lit(19)) == 0,
+              F.concat(boilered, F.lit(_C4_BRACE)))
+        .otherwise(boilered)
+    )
+    w = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_replace(tailed, _C4_CHUNK_RE, "$1\n").alias("text"),
+    )
+
+    docs = w.select(
+        "doc_id", "text",
+        F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_lines"),
+        F.col("text").contains("lorem ipsum").alias("has_lorem"),
+        F.col("text").contains("{").alias("has_brace"),
+    )
+
+    lines = w.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line")
+    )
+    m = F.length("line") % 3
+    n_words = F.size(F.split(F.col("line"), " "))
+    kept = lines.where((m != 2) & (n_words >= 5)).select(
+        "doc_id", "pos",
+        F.when(m == 0, F.concat(F.col("line"), F.lit(".")))
+         .otherwise(F.concat(F.col("line"), F.lit("!"))).alias("line"),
+    )
+
+    # global keep-first: one exchange keyed on the line text
+    win = Window.partitionBy("line").orderBy("doc_id", "pos")
+    surv = kept.withColumn("rn", F.row_number().over(win)).where(F.col("rn") == 1)
+
+    passed = kept.groupBy("doc_id").agg(F.count("*").alias("n_passed"))
+    rolled = surv.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+
+    out = (
+        docs.join(passed, "doc_id", "left")
+        .join(rolled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_passed", F.lit(0)).cast("long").alias("n_passed"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (~F.col("has_lorem") & ~F.col("has_brace")
+             & (F.coalesce("n_kept", F.lit(0)) >= 3)).alias("doc_kept"),
+            "cleaned",
+        )
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_passed", "n_kept", "doc_kept",
+        F.when(F.col("doc_kept"), F.md5(F.col("cleaned"))).alias("clean_hash"),
+        F.when(F.col("doc_kept"), F.length("cleaned"))
+         .cast("long").alias("clean_len"),
+    )
+
+
+SQL_C4_CLEAN = rf"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{_C4_BOILER} ' || text
+              ELSE text END AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         regexp_replace(
+           CASE WHEN doc_id % 13 = 0 THEN t || '{_C4_LOREM}'
+                WHEN doc_id % 19 = 0 THEN t || '{_C4_BRACE}'
+                ELSE t END,
+           '((\S+ ){{7}}\S+) ', '\1' || chr(10), 'g') AS text
+  FROM b
+),
+docs AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         contains(text, 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace
+  FROM w
+),
+pos AS (
+  SELECT doc_id, ls[i] AS line, i - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
+       UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, pos,
+         line || CASE WHEN length(line) % 3 = 0 THEN '.' ELSE '!' END AS line
+  FROM pos
+  WHERE length(line) % 3 <> 2 AND len(string_split(line, ' ')) >= 5
+),
+surv AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM kept
+),
+passed AS (SELECT doc_id, COUNT(*) AS n_passed FROM kept GROUP BY doc_id),
+rolled AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM surv WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_lines,
+  CAST(COALESCE(p.n_passed, 0) AS BIGINT) AS n_passed,
+  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+  (NOT d.has_lorem AND NOT d.has_brace AND COALESCE(r.n_kept, 0) >= 3)
+    AS doc_kept,
+  CASE WHEN NOT d.has_lorem AND NOT d.has_brace
+            AND COALESCE(r.n_kept, 0) >= 3
+       THEN md5(r.cleaned) END AS clean_hash,
+  CAST(CASE WHEN NOT d.has_lorem AND NOT d.has_brace
+                 AND COALESCE(r.n_kept, 0) >= 3
+            THEN length(r.cleaned) END AS BIGINT) AS clean_len
+FROM docs d
+LEFT JOIN passed p USING (doc_id)
+LEFT JOIN rolled r USING (doc_id)
+"""

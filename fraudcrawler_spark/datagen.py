@@ -314,6 +314,36 @@ def generate_images(n_images: int = 64) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_audio(n_clips: int = 64) -> pd.DataFrame:
+    """REAL mono PCM16 WAV clips (functions/wav.py encoder — genuine files
+    any player opens), fully arithmetic so the decode kernels carry an
+    ANALYTIC oracle: sample i of clip k is
+      v = ((31*i + 17*k) * 73) % 4001 - 2000
+    with sample_rate 8000 and n = 800 + (523*k) % 3201 samples (0.1-0.5 s).
+    The DuckDB twin regenerates the same sample stream from the
+    (n_samples) metadata column and must agree with what Spark recovers
+    FROM THE BYTES ALONE — the metadata is never read by the Spark
+    kernels. Independent of the page RNG streams, so adding this table
+    changes no other table's bytes."""
+    from fraudcrawler_spark.functions.wav import wav_encode
+
+    rows = []
+    for k in range(n_clips):
+        n = 800 + (523 * k) % 3201
+        i = np.arange(n, dtype=np.int64)
+        v = ((31 * i + 17 * k) * 73) % 4001 - 2000
+        rows.append(
+            {
+                "clip_id": k,
+                "url": f"https://media-host-{k % 5}.ch/audio/{k:04d}.wav",
+                "sample_rate": 8000,
+                "n_samples": n,
+                "wav": wav_encode(v.astype(np.int16), 8000),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) -> dict:
     """Write the full corpus as parquet files under out_dir; returns paths."""
     os.makedirs(out_dir, exist_ok=True)
@@ -326,6 +356,7 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
         "robots": generate_robots(n_hosts),
         "prompts": generate_prompts(),
         "images": generate_images(),
+        "audio": generate_audio(),
     }
     paths = {}
     for name, df in tables.items():

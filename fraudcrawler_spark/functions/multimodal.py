@@ -166,6 +166,84 @@ def resize_image_bmp(df: DataFrame, out_w: int = 8, out_h: int = 8,
     return df.select("img_id", binary_col).mapInPandas(gen, RESIZED_BMP_SCHEMA)
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("clip_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("amp_mean", DoubleType()),
+        StructField("amp_rms", DoubleType()),
+    ]
+)
+
+
+def _sample_features(samples: np.ndarray) -> tuple[float, float]:
+    """Population mean + RMS over int16 samples. Sums run in int64 so the
+    division is a single exact-integer-over-n float op — bit-identical to
+    a SQL AVG over the same integers (each partial sum < 2^53)."""
+    n = samples.size
+    v = samples.astype(np.int64)
+    mean = float(v.sum()) / n
+    rms = float(np.sqrt(float((v * v).sum()) / n))
+    return mean, rms
+
+
+def decode_audio_meta(df: DataFrame, binary_col: str = "wav") -> DataFrame:
+    """REAL audio decode: (clip_id, <wav binary>) → sample rate, sample
+    count, duration and amplitude stats recovered from the BYTES alone
+    (functions/wav.py RIFF/PCM16 parser) — the table's metadata columns
+    are never read. Raises on a non-WAV payload: an audio table holding
+    undecodable bytes is a pipeline bug, not a skippable row."""
+    from fraudcrawler_spark.functions.wav import wav_decode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"clip_id": [], "sample_rate": [], "n_samples": [],
+                   "duration_s": [], "amp_mean": [], "amp_rms": []}
+            for clip_id, raw in zip(pdf["clip_id"], pdf[binary_col]):
+                sr, samples = wav_decode(bytes(raw))
+                mean, rms = _sample_features(samples)
+                out["clip_id"].append(int(clip_id))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(int(samples.size))
+                out["duration_s"].append(samples.size / sr)
+                out["amp_mean"].append(mean)
+                out["amp_rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return df.select("clip_id", binary_col).mapInPandas(gen, AUDIO_META_SCHEMA)
+
+
+RESAMPLED_WAV_SCHEMA = StructType(
+    [
+        StructField("clip_id", LongType()),
+        StructField("wav", BinaryType()),
+    ]
+)
+
+
+def resample_audio_wav(df: DataFrame, factor: int = 4,
+                       binary_col: str = "wav") -> DataFrame:
+    """REAL decimating resampler: decode WAV → keep every ``factor``-th
+    sample (indices 0, factor, 2·factor, … — the SQL-reproducible index
+    map) → re-encode at sample_rate // factor. Binary in, binary out
+    through Arrow; compose with decode_audio_meta for an end-to-end
+    decode/resample/encode/decode round-trip."""
+    from fraudcrawler_spark.functions.wav import wav_decode, wav_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"clip_id": [], "wav": []}
+            for clip_id, raw in zip(pdf["clip_id"], pdf[binary_col]):
+                sr, samples = wav_decode(bytes(raw))
+                out["clip_id"].append(int(clip_id))
+                out["wav"].append(wav_encode(samples[::factor], sr // factor))
+            yield pd.DataFrame(out)
+
+    return df.select("clip_id", binary_col).mapInPandas(gen, RESAMPLED_WAV_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("url", StringType()),

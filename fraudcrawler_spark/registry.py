@@ -101,6 +101,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # URL-heuristic pre-fetch gate (RefinedWeb/UT1), per-stage attrition
     "paragraph_dedup": (cc.q_paragraph_dedup, cc.SQL_PARAGRAPH_DEDUP),
     "filter_funnel": (cc.q_filter_funnel, cc._sql_filter_funnel()),
+    # late r4: full C4 clean (line gates + GLOBAL keep-first line dedup +
+    # doc drops — Raffel et al. 2020 §2.2)
+    "c4_clean": (cc.q_c4_clean, cc.SQL_C4_CLEAN),
     "tfidf_keywords": (cc.q_tfidf_keywords, cc.SQL_TFIDF_KEYWORDS),
     "skew_report": (cc.q_skew_report, cc.SQL_SKEW_REPORT),
     # graph stage (r3): near-dup clusters (connected components, recursive-
@@ -192,11 +195,11 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
 
     if n_pages not in _CORPUS_CACHE:
         d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
-        # images.parquet is the newest table (r4) — its absence means a
-        # stale pre-r4 cache dir that must be regenerated
+        # audio.parquet is the newest table (late r4) — its absence means
+        # a stale cache dir that must be regenerated
         if not all(
             os.path.exists(os.path.join(d, f"{t}.parquet"))
-            for t in ("pages", "images")
+            for t in ("pages", "images", "audio")
         ):
             write_corpus(d, n_pages)
         _CORPUS_CACHE[n_pages] = d
@@ -791,6 +794,97 @@ REGISTRY["image_resize"] = (q_image_resize, SQL_IMAGE_RESIZE)
 
 
 # --------------------------------------------------------------------------
+# REAL audio decode/resample: the corpus audio table holds genuine mono
+# PCM16 WAV files (functions/wav.py encoder) whose sample stream is
+# arithmetically defined (datagen.generate_audio: sample i of clip k is
+# ((31·i + 17·k)·73) % 4001 − 2000 at 8 kHz), so the RIFF parser's output
+# is checkable by an ANALYTIC DuckDB twin that regenerates the stream from
+# the table's n_samples column — metadata the Spark kernels never read
+# (rate/count/samples all come from the bytes).
+# --------------------------------------------------------------------------
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode: sample rate / count / duration / amplitude stats
+    recovered from the bytes alone (functions/wav.py, mapInPandas Arrow
+    batches)."""
+    import os
+
+    from fraudcrawler_spark.functions.multimodal import decode_audio_meta
+
+    clips = spark.read.parquet(os.path.join(_crawl_corpus(), "audio.parquet"))
+    out = decode_audio_meta(clips.select("clip_id", "wav"))
+    return out.select(
+        "clip_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("amp_mean", 4).alias("amp_mean"),
+        F.round("amp_rms", 4).alias("amp_rms"),
+    )
+
+
+SQL_AUDIO_DECODE = rf"""
+WITH a AS (SELECT clip_id, n_samples
+           FROM read_parquet('{_D}/audio.parquet')),
+s AS (
+  SELECT a.clip_id, ((31 * i.i + 17 * a.clip_id) * 73) % 4001 - 2000 AS v
+  FROM a JOIN generate_series(0, 4000) AS i(i) ON i.i < a.n_samples
+),
+g AS (SELECT clip_id, COUNT(*) AS n,
+             AVG(v::DOUBLE) AS m, AVG((v * v)::DOUBLE) AS m2
+      FROM s GROUP BY clip_id)
+SELECT clip_id, 8000 AS sample_rate, n AS n_samples,
+  ROUND(n::DOUBLE / 8000, 6) AS duration_s,
+  ROUND(m, 4) AS amp_mean,
+  ROUND(sqrt(m2), 4) AS amp_rms
+FROM g
+"""
+
+
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resample round-trip: decode WAV → decimate by 4 (keep sample
+    indices 0, 4, 8, …) → re-encode at 2 kHz → decode AGAIN and report
+    the resampled stats. The twin regenerates samples at the decimated
+    indices — one index map both engines share."""
+    import os
+
+    from fraudcrawler_spark.functions.multimodal import (
+        decode_audio_meta,
+        resample_audio_wav,
+    )
+
+    clips = spark.read.parquet(os.path.join(_crawl_corpus(), "audio.parquet"))
+    resampled = resample_audio_wav(clips.select("clip_id", "wav"), factor=4)
+    out = decode_audio_meta(resampled)
+    return out.select(
+        "clip_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("amp_mean", 4).alias("amp_mean"),
+        F.round("amp_rms", 4).alias("amp_rms"),
+    )
+
+
+SQL_AUDIO_RESAMPLE = rf"""
+WITH a AS (SELECT clip_id, n_samples
+           FROM read_parquet('{_D}/audio.parquet')),
+s AS (
+  SELECT a.clip_id,
+         ((31 * (i.i * 4) + 17 * a.clip_id) * 73) % 4001 - 2000 AS v
+  FROM a JOIN generate_series(0, 1000) AS i(i) ON i.i * 4 < a.n_samples
+),
+g AS (SELECT clip_id, COUNT(*) AS n,
+             AVG(v::DOUBLE) AS m, AVG((v * v)::DOUBLE) AS m2
+      FROM s GROUP BY clip_id)
+SELECT clip_id, 2000 AS sample_rate, n AS n_samples,
+  ROUND(n::DOUBLE / 2000, 6) AS duration_s,
+  ROUND(m, 4) AS amp_mean,
+  ROUND(sqrt(m2), 4) AS amp_rms
+FROM g
+"""
+
+REGISTRY["audio_decode"] = (q_audio_decode, SQL_AUDIO_DECODE)
+REGISTRY["audio_resample"] = (q_audio_resample, SQL_AUDIO_RESAMPLE)
+
+
+# --------------------------------------------------------------------------
 # Driver-window priority (r3 verdict item 1). The driver's correctness gate
 # runs only the first 50 queries() entries, so this list pins who occupies
 # the window: every entry that has never had a driver-green CORRECTNESS row
@@ -855,13 +949,15 @@ _DRIVER_WINDOW: list[str] = [
     # r4: decontamination eval + SemDeDup semantic dedup (never driver-run)
     "decontaminate_eval",
     "semdedup",
+    # r4: real WAV decode/resample (analytic sample-stream oracle)
+    "audio_decode",
+    "audio_resample",
+    # r4: full C4 clean (global line dedup)
+    "c4_clean",
     # ---- veterans re-filling the window to 50 (already green in r03) ----
     "pricing_summary",
     "pipeline_composite",
     "politeness_cells",
-    "frontier_order",
-    "dedup_minhash_lsh",
-    "dedup_simhash64",
 ]
 
 # the driver correctness gate checks exactly the first 50 queries() —

@@ -303,3 +303,75 @@ def test_image_decode_ignores_metadata(spark, tmp_path):
     row = decode_image_meta(df.select("img_id", "img")).collect()[0]
     assert (row["width"], row["height"]) == (9, 5)
     assert abs(row["px_mean"] - 200 / 3) < 1e-9
+
+
+def test_wav_codec_roundtrip():
+    """Pure-Python RIFF/PCM16 WAV codec: encode→decode is identity on real
+    sample arrays, tolerates extra RIFF chunks, and rejects non-WAV /
+    unsupported payloads."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fraudcrawler_spark.functions.wav import wav_decode, wav_encode
+
+    rng = np.random.RandomState(11)
+    for n, sr in [(1, 8000), (7, 16000), (800, 8000), (4001, 44100)]:
+        samples = rng.randint(-32768, 32768, size=n).astype(np.int16)
+        data = wav_encode(samples, sr)
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        # exact container size: 12-byte RIFF hdr + 24-byte fmt + 8 + pcm
+        assert len(data) == 44 + 2 * n
+        sr2, s2 = wav_decode(data)
+        assert sr2 == sr
+        assert np.array_equal(samples, s2)
+
+    # an extra LIST chunk between fmt and data must be skipped (real
+    # encoders emit INFO metadata); odd-sized chunks are word-aligned
+    samples = rng.randint(-32768, 32768, size=5).astype(np.int16)
+    data = wav_encode(samples, 8000)
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"  # padded to even
+    patched = data[:36] + extra + data[36:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    sr3, s3 = wav_decode(patched)
+    assert sr3 == 8000
+    assert np.array_equal(samples, s3)
+
+    with _pytest.raises(ValueError, match="not a WAV"):
+        wav_decode(b"<html>not audio</html>" + b"\x00" * 64)
+    # stereo is unsupported: patch the channel count in the fmt chunk
+    bad = bytearray(wav_encode(samples, 8000))
+    struct.pack_into("<H", bad, 22, 2)
+    with _pytest.raises(ValueError, match="unsupported WAV"):
+        wav_decode(bytes(bad))
+
+
+def test_audio_decode_ignores_metadata(spark):
+    """decode_audio_meta must recover rate/count from the BYTES, not the
+    table columns — corrupt metadata on purpose and check the decode; a
+    factor-4 decimation round-trip keeps exactly samples 0, 4, 8, …"""
+    import numpy as np
+    import pandas as pd
+
+    from fraudcrawler_spark.functions.multimodal import (
+        decode_audio_meta,
+        resample_audio_wav,
+    )
+    from fraudcrawler_spark.functions.wav import wav_encode
+
+    samples = np.array([100, -200, 300, -400, 500, -600, 700], dtype=np.int16)
+    pdf = pd.DataFrame({"clip_id": [0], "sample_rate": [999999],
+                        "n_samples": [999999], "wav": [wav_encode(samples, 8000)]})
+    df = spark.createDataFrame(pdf)
+    row = decode_audio_meta(df.select("clip_id", "wav")).collect()[0]
+    assert (row["sample_rate"], row["n_samples"]) == (8000, 7)
+    assert abs(row["duration_s"] - 7 / 8000) < 1e-12
+    v = samples.astype(np.int64)
+    assert abs(row["amp_mean"] - v.mean()) < 1e-9
+    assert abs(row["amp_rms"] - np.sqrt((v * v).mean())) < 1e-9
+
+    resampled = resample_audio_wav(df.select("clip_id", "wav"), factor=4)
+    row2 = decode_audio_meta(resampled).collect()[0]
+    assert (row2["sample_rate"], row2["n_samples"]) == (2000, 2)
+    assert abs(row2["amp_mean"] - (100 + 500) / 2) < 1e-9
