@@ -462,3 +462,33 @@ def test_decontaminate_eval_broadcast_eval_grams(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_c4_clean_window_group_limit_no_python(spark, sf_dir):
+    from fraudcrawler_spark.conformance_corpus import q_c4_clean
+
+    p = _plan(spark, q_c4_clean(spark, sf_dir))
+    # pure-codegen text pipeline: the only Python-free shuffles are the
+    # keep-first window (keyed on the line text) and the per-doc rollups
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    # rank-limit pushdown: rn=1 must run a map-side WindowGroupLimit
+    # BEFORE the line exchange, so duplicate mass is cut pre-shuffle —
+    # the property that makes global line dedup viable at 100 TB
+    assert "WindowGroupLimit" in p
+    assert len(re.findall(r"hashpartitioning\(line", p)) == 1
+
+
+def test_audio_decode_pruned_scan_no_shuffle(spark, sf_dir):
+    from fraudcrawler_spark.registry import q_audio_decode, q_audio_resample
+
+    p = _plan(spark, q_audio_decode(spark, sf_dir))
+    # one Arrow-batched MapInPandas over a 2-column pruned scan, zero
+    # exchanges: the plan itself proves the decode is embarrassingly
+    # parallel and never reads the metadata columns
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
+    assert "ReadSchema: struct<clip_id:bigint,wav:binary>" in p
+    p2 = _plan(spark, q_audio_resample(spark, sf_dir))
+    assert "Exchange" not in p2
+    assert "ReadSchema: struct<clip_id:bigint,wav:binary>" in p2
