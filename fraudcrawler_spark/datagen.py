@@ -344,6 +344,52 @@ def generate_audio(n_clips: int = 64) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_videos(n_videos: int = 24) -> pd.DataFrame:
+    """REAL uncompressed 24-bit DIB AVI clips (functions/avi.py encoder —
+    genuine files any player opens), fully arithmetic so the decode
+    kernels carry an ANALYTIC oracle: channels of pixel (x, y) in frame t
+    of video k are
+      r = (7x + 13y + 5t + k)   % 256
+      g = (3x + 5y + 11t + 2k)  % 256
+      b = (11x + y + 7t + 3k)   % 256
+    at 16×12, 10 fps, with n_frames = 3 + (5k) % 6. The DuckDB twin
+    regenerates the same pixel grid from the (width, height, n_frames)
+    metadata columns and must agree with what Spark recovers FROM THE
+    BYTES ALONE — the metadata is never read by the Spark kernels.
+    Independent of the page RNG streams, so adding this table changes no
+    other table's bytes."""
+    from fraudcrawler_spark.functions.avi import avi_encode
+
+    w, h = 16, 12
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    rows = []
+    for k in range(n_videos):
+        frames = []
+        for t in range(3 + (5 * k) % 6):
+            px = np.concatenate(
+                [
+                    (7 * x + 13 * y + 5 * t + k) % 256,
+                    (3 * x + 5 * y + 11 * t + 2 * k) % 256,
+                    (11 * x + y + 7 * t + 3 * k) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            frames.append(px)
+        rows.append(
+            {
+                "video_id": k,
+                "url": f"https://media-host-{k % 5}.ch/video/{k:04d}.avi",
+                "width": w,
+                "height": h,
+                "n_frames": len(frames),
+                "fps": 10,
+                "avi": avi_encode(frames, 10),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) -> dict:
     """Write the full corpus as parquet files under out_dir; returns paths."""
     os.makedirs(out_dir, exist_ok=True)
@@ -357,6 +403,7 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
         "prompts": generate_prompts(),
         "images": generate_images(),
         "audio": generate_audio(),
+        "videos": generate_videos(),
     }
     paths = {}
     for name, df in tables.items():

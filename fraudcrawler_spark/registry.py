@@ -195,11 +195,11 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
 
     if n_pages not in _CORPUS_CACHE:
         d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
-        # audio.parquet is the newest table (late r4) — its absence means
-        # a stale cache dir that must be regenerated
+        # videos.parquet is the newest table (late r4) — its absence
+        # means a stale cache dir that must be regenerated
         if not all(
             os.path.exists(os.path.join(d, f"{t}.parquet"))
-            for t in ("pages", "images", "audio")
+            for t in ("pages", "images", "audio", "videos")
         ):
             write_corpus(d, n_pages)
         _CORPUS_CACHE[n_pages] = d
@@ -885,6 +885,106 @@ REGISTRY["audio_resample"] = (q_audio_resample, SQL_AUDIO_RESAMPLE)
 
 
 # --------------------------------------------------------------------------
+# REAL video decode/frame-sample: the corpus videos table holds genuine
+# uncompressed 24-bit DIB AVI files (functions/avi.py encoder) whose
+# pixels are arithmetically defined (datagen.generate_videos), so the
+# RIFF/DIB parser's output is checkable by an ANALYTIC DuckDB twin that
+# regenerates the pixel grid from the (width, height, n_frames) metadata
+# — metadata the Spark kernels never read (dims/fps/frames all come from
+# the bytes). Completes the multimodal triad: no stand-ins left.
+# --------------------------------------------------------------------------
+
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real AVI decode: dims / frame count / fps / whole-clip pixel stats
+    recovered from the bytes alone (functions/avi.py, mapInPandas Arrow
+    batches)."""
+    import os
+
+    from fraudcrawler_spark.functions.multimodal import decode_video_meta
+
+    vids = spark.read.parquet(os.path.join(_crawl_corpus(), "videos.parquet"))
+    out = decode_video_meta(vids.select("video_id", "avi"))
+    return out.select(
+        "video_id", "width", "height", "n_frames",
+        F.round("fps", 2).alias("fps"),
+        F.round("px_mean", 4).alias("px_mean"),
+        F.round("px_std", 4).alias("px_std"),
+    )
+
+
+# pixel formula (datagen.generate_videos): channels of pixel (x, y) in
+# frame t of video k
+_SQL_VIDEO_VALS = """
+  SELECT video_id, t, unnest([
+    (7 * x + 13 * y + 5 * t + video_id) % 256,
+    (3 * x + 5 * y + 11 * t + 2 * video_id) % 256,
+    (11 * x + y + 7 * t + 3 * video_id) % 256]) AS val
+  FROM px
+"""
+
+SQL_VIDEO_DECODE = rf"""
+WITH v AS (SELECT video_id, width, height, n_frames
+           FROM read_parquet('{_D}/videos.parquet')),
+px AS (
+  SELECT v.video_id, v.width, v.height, v.n_frames, t.t, x.x, y.y
+  FROM v
+  JOIN generate_series(0, 7) AS t(t) ON t.t < v.n_frames
+  JOIN generate_series(0, 15) AS x(x) ON x.x < v.width
+  JOIN generate_series(0, 11) AS y(y) ON y.y < v.height
+),
+c AS ({_SQL_VIDEO_VALS}),
+s AS (SELECT video_id, AVG(val::DOUBLE) AS m, AVG((val * val)::DOUBLE) AS m2
+      FROM c GROUP BY video_id)
+SELECT v.video_id, v.width, v.height, v.n_frames,
+  CAST(10.0 AS DOUBLE) AS fps,
+  ROUND(s.m, 4) AS px_mean,
+  ROUND(sqrt(s.m2 - s.m * s.m), 4) AS px_std
+FROM v JOIN s USING (video_id)
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real frame sampling: decode AVI → keep frames 0, 2, 4, … → one row
+    per sampled frame with its pixel stats (the 1→N Arrow fan-out a
+    production PyAV sampler would use). The twin regenerates pixels at
+    the sampled frame indices — one index map both engines share."""
+    import os
+
+    from fraudcrawler_spark.functions.multimodal import sample_frames_avi
+
+    vids = spark.read.parquet(os.path.join(_crawl_corpus(), "videos.parquet"))
+    out = sample_frames_avi(vids.select("video_id", "avi"), every=2)
+    return out.select(
+        "video_id", "frame_idx",
+        F.round("px_mean", 4).alias("px_mean"),
+        F.round("px_std", 4).alias("px_std"),
+    )
+
+
+SQL_VIDEO_FRAMES = rf"""
+WITH v AS (SELECT video_id, width, height, n_frames
+           FROM read_parquet('{_D}/videos.parquet')),
+px AS (
+  SELECT v.video_id, t.t, x.x, y.y
+  FROM v
+  JOIN generate_series(0, 7) AS t(t) ON t.t < v.n_frames AND t.t % 2 = 0
+  JOIN generate_series(0, 15) AS x(x) ON x.x < v.width
+  JOIN generate_series(0, 11) AS y(y) ON y.y < v.height
+),
+c AS ({_SQL_VIDEO_VALS}),
+s AS (SELECT video_id, t, AVG(val::DOUBLE) AS m, AVG((val * val)::DOUBLE) AS m2
+      FROM c GROUP BY video_id, t)
+SELECT video_id, CAST(t AS BIGINT) AS frame_idx,
+  ROUND(m, 4) AS px_mean,
+  ROUND(sqrt(m2 - m * m), 4) AS px_std
+FROM s
+"""
+
+REGISTRY["video_decode"] = (q_video_decode, SQL_VIDEO_DECODE)
+REGISTRY["video_frames"] = (q_video_frames, SQL_VIDEO_FRAMES)
+
+
+# --------------------------------------------------------------------------
 # Driver-window priority (r3 verdict item 1). The driver's correctness gate
 # runs only the first 50 queries() entries, so this list pins who occupies
 # the window: every entry that has never had a driver-green CORRECTNESS row
@@ -954,10 +1054,11 @@ _DRIVER_WINDOW: list[str] = [
     "audio_resample",
     # r4: full C4 clean (global line dedup)
     "c4_clean",
-    # ---- veterans re-filling the window to 50 (already green in r03) ----
+    # r4: real AVI decode/frame-sample (analytic pixel oracle)
+    "video_decode",
+    "video_frames",
+    # ---- veteran re-filling the window to 50 (already green in r03) ----
     "pricing_summary",
-    "pipeline_composite",
-    "politeness_cells",
 ]
 
 # the driver correctness gate checks exactly the first 50 queries() —

@@ -375,3 +375,74 @@ def test_audio_decode_ignores_metadata(spark):
     row2 = decode_audio_meta(resampled).collect()[0]
     assert (row2["sample_rate"], row2["n_samples"]) == (2000, 2)
     assert abs(row2["amp_mean"] - (100 + 500) / 2) < 1e-9
+
+
+def test_avi_codec_roundtrip():
+    """Pure-Python AVI/DIB codec: encode→decode is identity on real frame
+    stacks (including non-multiple-of-4 row widths), tolerates unknown
+    RIFF chunks, and rejects non-AVI / compressed payloads."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fraudcrawler_spark.functions.avi import avi_decode, avi_encode
+
+    rng = np.random.RandomState(13)
+    for n, (h, w), fps in [(1, (1, 1), 1), (3, (5, 7), 25), (8, (12, 16), 10)]:
+        frames = [rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                  for _ in range(n)]
+        data = avi_encode(frames, fps)
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        fps2, out = avi_decode(data)
+        assert fps2 == fps and len(out) == n
+        assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+    # an unknown top-level chunk (e.g. JUNK padding real muxers emit)
+    # must be skipped
+    frames = [rng.randint(0, 256, size=(4, 6, 3)).astype(np.uint8)]
+    data = avi_encode(frames, 30)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    patched = data[:12] + junk + data[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    fps3, out3 = avi_decode(patched)
+    assert fps3 == 30 and np.array_equal(frames[0], out3[0])
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        avi_decode(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 16)
+    # compressed stream is unsupported: patch biCompression in strf
+    bad = bytearray(avi_encode(frames, 30))
+    pos = bad.find(b"strf")
+    struct.pack_into("<I", bad, pos + 24, 1)  # BI_RLE8
+    with _pytest.raises(ValueError, match="unsupported AVI"):
+        avi_decode(bytes(bad))
+
+
+def test_video_decode_ignores_metadata(spark):
+    """decode_video_meta must recover dims/frames/fps from the BYTES, not
+    the table columns — corrupt metadata on purpose; sample_frames_avi
+    fans 1 video row out to one row per EVEN frame index."""
+    import numpy as np
+    import pandas as pd
+
+    from fraudcrawler_spark.functions.avi import avi_encode
+    from fraudcrawler_spark.functions.multimodal import (
+        decode_video_meta,
+        sample_frames_avi,
+    )
+
+    frames = [np.full((3, 4, 3), 10 * (t + 1), dtype=np.uint8) for t in range(5)]
+    pdf = pd.DataFrame({"video_id": [0], "width": [999], "height": [999],
+                        "n_frames": [999], "fps": [999],
+                        "avi": [avi_encode(frames, 10)]})
+    df = spark.createDataFrame(pdf)
+    row = decode_video_meta(df.select("video_id", "avi")).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (4, 3, 5)
+    assert row["fps"] == 10.0
+    assert abs(row["px_mean"] - 30.0) < 1e-9  # mean of 10,20,30,40,50
+
+    rows = sorted(
+        (r["frame_idx"], r["px_mean"])
+        for r in sample_frames_avi(df.select("video_id", "avi"), every=2).collect()
+    )
+    assert rows == [(0, 10.0), (2, 30.0), (4, 50.0)]
