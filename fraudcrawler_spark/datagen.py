@@ -414,6 +414,12 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
         df.to_parquet(p, index=False, coerce_timestamps="us",
                       allow_truncated_timestamps=True, row_group_size=4096)
         paths[name] = p
+    # the same pages, archived as genuine WARC (sources/warc.py) — the
+    # batch-ingest twin of the reference's live HTTP fetch
+    from fraudcrawler_spark.sources.warc import write_warc
+
+    write_warc(os.path.join(out_dir, "warc"), tables["pages"])
+    paths["warc"] = os.path.join(out_dir, "warc")
     return paths
 
 

@@ -195,12 +195,12 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
 
     if n_pages not in _CORPUS_CACHE:
         d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
-        # videos.parquet is the newest table (late r4) — its absence
-        # means a stale cache dir that must be regenerated
+        # the warc/ archive is the newest corpus artifact (late r4) — its
+        # absence means a stale cache dir that must be regenerated
         if not all(
             os.path.exists(os.path.join(d, f"{t}.parquet"))
             for t in ("pages", "images", "audio", "videos")
-        ):
+        ) or not os.path.isdir(os.path.join(d, "warc")):
             write_corpus(d, n_pages)
         _CORPUS_CACHE[n_pages] = d
     return _CORPUS_CACHE[n_pages]
@@ -985,6 +985,86 @@ REGISTRY["video_frames"] = (q_video_frames, SQL_VIDEO_FRAMES)
 
 
 # --------------------------------------------------------------------------
+# WARC source (sources/warc.py): the corpus pages archived as genuine
+# gzip-member-per-record WARC/1.0 files, read back with binaryFile +
+# mapInPandas. Every header the reader recovers FROM THE BYTES (record
+# id, date, HTTP status, payload digest) is deterministic arithmetic over
+# the pages table, so DuckDB regenerates the expected records without
+# ever touching the archive.
+# --------------------------------------------------------------------------
+
+def q_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest audit: every response record's id/uri/date/status/
+    length/sha256 digest parsed from the archive bytes alone, digest
+    re-verified against the record's own header."""
+    import os
+
+    from fraudcrawler_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, os.path.join(_crawl_corpus(), "warc"))
+    return recs.where(F.col("warc_type") == "response").select(
+        "record_id", "target_uri", "warc_date", "http_status",
+        "content_length", "payload_sha256", "digest_ok",
+    )
+
+
+SQL_WARC_READ = rf"""
+SELECT
+  'urn:uuid:' || substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-' ||
+    substr(m, 13, 4) || '-' || substr(m, 17, 4) || '-' ||
+    substr(m, 21, 12) AS record_id,
+  url AS target_uri,
+  strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+  CAST(CASE WHEN url LIKE '%/private/%' THEN 403 ELSE 200 END
+       AS BIGINT) AS http_status,
+  CAST(octet_length(html) AS BIGINT) AS content_length,
+  sha256(decode(html)) AS payload_sha256,
+  TRUE AS digest_ok
+FROM (SELECT *, md5(url) AS m FROM read_parquet('{_D}/pages.parquet'))
+"""
+
+
+def q_warc_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl audit computed from the WARC archive alone —
+    record counts, archived payload bytes, non-200 counts. The shape of
+    the first report a 100 TB Common-Crawl ingest produces (group key =
+    host parsed from WARC-Target-URI; one exchange)."""
+    import os
+
+    from fraudcrawler_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, os.path.join(_crawl_corpus(), "warc"))
+    return (
+        recs.where(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"^https?://([^/]+)", 1).alias("host"),
+            "content_length",
+            (F.col("http_status") != 200).cast("long").alias("err"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("content_length").alias("total_bytes"),
+            F.sum("err").alias("n_errors"),
+        )
+    )
+
+
+SQL_WARC_HOSTS = rf"""
+SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
+  CAST(COUNT(*) AS BIGINT) AS n_records,
+  CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes,
+  CAST(SUM(CASE WHEN url LIKE '%/private/%' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_errors
+FROM read_parquet('{_D}/pages.parquet')
+GROUP BY 1
+"""
+
+REGISTRY["warc_read"] = (q_warc_read, SQL_WARC_READ)
+REGISTRY["warc_hosts"] = (q_warc_hosts, SQL_WARC_HOSTS)
+
+
+# --------------------------------------------------------------------------
 # Driver-window priority (r3 verdict item 1). The driver's correctness gate
 # runs only the first 50 queries() entries, so this list pins who occupies
 # the window: every entry that has never had a driver-green CORRECTNESS row
@@ -1057,8 +1137,9 @@ _DRIVER_WINDOW: list[str] = [
     # r4: real AVI decode/frame-sample (analytic pixel oracle)
     "video_decode",
     "video_frames",
-    # ---- veteran re-filling the window to 50 (already green in r03) ----
-    "pricing_summary",
+    # r4: WARC source ingest (record headers + digest from the bytes;
+    # warc_hosts is its aggregate twin, suite-oracled outside the window)
+    "warc_read",
 ]
 
 # the driver correctness gate checks exactly the first 50 queries() —
