@@ -390,6 +390,36 @@ def generate_videos(n_videos: int = 24) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_raw_pages(n_docs: int = 600) -> pd.DataFrame:
+    """Byte payloads in the web's real encoding mix for the charset
+    kernel (functions/charset.py): doc k is stored as
+      k % 3 == 0 → clean UTF-8
+      k % 3 == 1 → windows-1252 (undecodable as UTF-8: ü/é/– bytes)
+      k % 3 == 2 → mojibake (UTF-8 mis-decoded as cp1252, re-encoded —
+                   the classic ``Ã¼`` corruption)
+    ``enc``/``text_src`` are ground-truth metadata the Spark kernel never
+    reads (it sniffs the bytes); the DuckDB twin reads ONLY the metadata.
+    Every doc carries non-ASCII (ü é ä ß à è – €, all cp1252-safe and
+    with cp1252-defined UTF-8 continuation bytes) so detection is
+    unambiguous at every row."""
+    rows = []
+    accents = ["Zürich", "Genève", "Käse", "Crème", "Straße", "à-la-carte"]
+    for k in range(n_docs):
+        text = (
+            f"{accents[k % len(accents)]} Bericht {k}: Qualität geprüft – "
+            f"Preis {((k * 37) % 9000) / 100 + 5:.2f} € für Artikel {k % 97}."
+        )
+        enc = ("utf8", "cp1252", "mojibake")[k % 3]
+        if enc == "utf8":
+            data = text.encode("utf-8")
+        elif enc == "cp1252":
+            data = text.encode("cp1252")
+        else:
+            data = text.encode("utf-8").decode("cp1252").encode("utf-8")
+        rows.append({"doc_id": k, "enc": enc, "text_src": text, "data": data})
+    return pd.DataFrame(rows)
+
+
 def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) -> dict:
     """Write the full corpus as parquet files under out_dir; returns paths."""
     os.makedirs(out_dir, exist_ok=True)
@@ -404,6 +434,7 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
         "images": generate_images(),
         "audio": generate_audio(),
         "videos": generate_videos(),
+        "raw_pages": generate_raw_pages(),
     }
     paths = {}
     for name, df in tables.items():

@@ -195,11 +195,11 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
 
     if n_pages not in _CORPUS_CACHE:
         d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
-        # the warc/ archive is the newest corpus artifact (late r4) — its
+        # raw_pages.parquet is the newest corpus artifact (late r4) — its
         # absence means a stale cache dir that must be regenerated
         if not all(
             os.path.exists(os.path.join(d, f"{t}.parquet"))
-            for t in ("pages", "images", "audio", "videos")
+            for t in ("pages", "images", "audio", "videos", "raw_pages")
         ) or not os.path.isdir(os.path.join(d, "warc")):
             write_corpus(d, n_pages)
         _CORPUS_CACHE[n_pages] = d
@@ -1062,6 +1062,35 @@ GROUP BY 1
 
 REGISTRY["warc_read"] = (q_warc_read, SQL_WARC_READ)
 REGISTRY["warc_hosts"] = (q_warc_hosts, SQL_WARC_HOSTS)
+
+
+# --------------------------------------------------------------------------
+# Charset sniffing + mojibake repair (functions/charset.py): the corpus
+# raw_pages table stores each doc's bytes as UTF-8, windows-1252, or
+# double-encoded mojibake; the Spark kernel recovers (encoding, clean
+# text) from the BYTES alone, while the DuckDB twin reads ONLY the
+# ground-truth metadata columns the kernel never touches.
+# --------------------------------------------------------------------------
+
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style decode stage: sniff utf-8 / cp1252 / mojibake and emit
+    repaired text, per document."""
+    import os
+
+    from fraudcrawler_spark.functions.charset import decode_text_bytes
+
+    raw = spark.read.parquet(os.path.join(_crawl_corpus(), "raw_pages.parquet"))
+    return decode_text_bytes(raw.select("doc_id", "data"))
+
+
+SQL_CHARSET_DECODE = rf"""
+SELECT doc_id,
+  enc AS detected_enc,
+  text_src AS text
+FROM read_parquet('{_D}/raw_pages.parquet')
+"""
+
+REGISTRY["charset_decode"] = (q_charset_decode, SQL_CHARSET_DECODE)
 
 
 # --------------------------------------------------------------------------

@@ -446,3 +446,37 @@ def test_video_decode_ignores_metadata(spark):
         for r in sample_frames_avi(df.select("video_id", "avi"), every=2).collect()
     )
     assert rows == [(0, 10.0), (2, 30.0), (4, 50.0)]
+
+
+def test_charset_sniff_and_decode(spark):
+    """decode_text_bytes recovers encoding + clean text from bytes alone;
+    the mojibake repair round-trips the classic double-encoding."""
+    import pandas as pd
+
+    from fraudcrawler_spark.functions.charset import (
+        decode_text_bytes,
+        sniff_and_decode,
+    )
+
+    text = "Zürich Qualität – Preis 9,90 € für Käse."
+    assert sniff_and_decode(text.encode("utf-8")) == ("utf8", text)
+    assert sniff_and_decode(text.encode("cp1252")) == ("cp1252", text)
+    moji = text.encode("utf-8").decode("cp1252").encode("utf-8")
+    assert sniff_and_decode(moji) == ("mojibake", text)
+    # pure ASCII stays utf8 and untouched
+    assert sniff_and_decode(b"plain ascii") == ("utf8", "plain ascii")
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            # lying charset metadata — must be ignored
+            "enc": ["cp1252", "utf8", "utf8"],
+            "data": [text.encode("utf-8"), text.encode("cp1252"), moji],
+        }
+    )
+    rows = {r["doc_id"]: r for r in
+            decode_text_bytes(spark.createDataFrame(pdf)).collect()}
+    assert rows[0]["detected_enc"] == "utf8"
+    assert rows[1]["detected_enc"] == "cp1252"
+    assert rows[2]["detected_enc"] == "mojibake"
+    assert all(rows[i]["text"] == text for i in range(3))
