@@ -1130,3 +1130,69 @@ FROM docs d
 LEFT JOIN passed p USING (doc_id)
 LEFT JOIN rolled r USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# r4: boilerplate removal (jusText/trafilatura-lite). Main-content
+# extraction by block-level link density: paragraph blocks are content,
+# anchor text is navigation chrome; a block-level density score is the
+# classic boilerplate separator (Kohlschütter et al., WSDM 2010). Whole
+# operator is JVM regexp/array expressions — zero Python, single scan,
+# no shuffle — so it rides whole-stage codegen at any corpus size.
+# --------------------------------------------------------------------------
+
+def q_boilerplate(spark, sf_dir):
+    """Per-page main-content extraction from raw html: paragraph blocks
+    vs anchor (navigation) text, char-level link density, and the md5 of
+    the extracted main text (the dedup/tokenize input downstream)."""
+    import os
+
+    from fraudcrawler_spark.registry import _crawl_corpus
+
+    pages = spark.read.parquet(os.path.join(_crawl_corpus(), "pages.parquet"))
+    html = F.col("html").cast("string")
+
+    def chars(arr):
+        return F.aggregate(
+            F.transform(arr, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        )
+
+    d = pages.select(
+        "url",
+        F.regexp_extract_all(html, F.lit(r"<p[^>]*>(.*?)</p>"), 1).alias("paras"),
+        F.regexp_extract_all(html, F.lit(r"<a [^>]*>(.*?)</a>"), 1).alias("links"),
+    )
+    return d.select(
+        "url",
+        F.size("paras").cast("long").alias("n_blocks"),
+        chars(F.col("paras")).cast("long").alias("main_chars"),
+        chars(F.col("links")).cast("long").alias("link_chars"),
+        F.round(
+            chars(F.col("links"))
+            / (chars(F.col("paras")) + chars(F.col("links"))),
+            4,
+        ).alias("link_density"),
+        F.md5(F.array_join("paras", "\n")).alias("main_hash"),
+    )
+
+
+def _sql_boilerplate():
+    from fraudcrawler_spark.registry import _corpus_sql_dir
+
+    d = _corpus_sql_dir()
+    return rf"""
+WITH p AS (
+  SELECT url,
+    regexp_extract_all(decode(html), '<p[^>]*>(.*?)</p>', 1) AS paras,
+    regexp_extract_all(decode(html), '<a [^>]*>(.*?)</a>', 1) AS links
+  FROM read_parquet('{d}/pages.parquet'))
+SELECT url,
+  CAST(len(paras) AS BIGINT) AS n_blocks,
+  CAST(coalesce(list_sum(list_transform(paras, x -> length(x))), 0)
+       AS BIGINT) AS main_chars,
+  CAST(coalesce(list_sum(list_transform(links, x -> length(x))), 0)
+       AS BIGINT) AS link_chars,
+  ROUND(link_chars / (main_chars + link_chars), 4) AS link_density,
+  md5(array_to_string(paras, chr(10))) AS main_hash
+FROM p
+"""

@@ -1176,3 +1176,7 @@ _DRIVER_WINDOW: list[str] = [
 assert len(_DRIVER_WINDOW) <= 50, (
     f"_DRIVER_WINDOW has {len(_DRIVER_WINDOW)} entries; trim veterans"
 )
+
+# r4: boilerplate removal — block-level link-density main-content
+# extraction (Kohlschütter et al.), all-JVM regexp/array expressions
+REGISTRY["boilerplate"] = (cc.q_boilerplate, cc._sql_boilerplate())
