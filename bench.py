@@ -109,6 +109,52 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     return timings
 
 
+WARC_BENCH_PAGES = int(os.environ.get("FC_BENCH_WARC_PAGES", "200000"))
+
+
+def run_warc_ingest(corpus: str, cpus: int) -> dict[str, float]:
+    """Batch-ingest throughput over genuine WARC files (sources/warc.py):
+    parse every record — gzip members, WARC + HTTP headers, sha256
+    digest re-verification — and aggregate count/bytes. The fixture is
+    built once from the first WARC_BENCH_PAGES pages of the bench corpus
+    (~2000 records per .warc.gz file, one file per task)."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from fraudcrawler_spark.session import get_spark
+    from fraudcrawler_spark.sources.warc import read_warc, write_warc
+
+    d = os.path.join(corpus, f"warc_bench_{WARC_BENCH_PAGES}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        pages = pq.read_table(
+            os.path.join(corpus, "pages.parquet"),
+            columns=["url", "warc_ts", "html"],
+        ).to_pandas().head(WARC_BENCH_PAGES)
+        write_warc(d, pages, n_files=max(4, len(pages) // 2000))
+
+    spark = get_spark("fc_warc_bench", cores=cpus,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    t0 = time.time()
+    row = (
+        read_warc(spark, d)
+        .where(F.col("warc_type") == "response")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("content_length").alias("payload_bytes"),
+            F.sum(F.col("digest_ok").cast("long")).alias("n_ok"),
+        )
+        .collect()[0]
+    )
+    dt = time.time() - t0
+    assert row["n_ok"] == row["n"], "digest failures in bench WARC"
+    return {
+        "warc_ingest_sec": round(dt, 3),
+        "warc_records": int(row["n"]),
+        "warc_records_per_sec": round(row["n"] / dt, 1),
+        "warc_payload_mb_per_sec": round(row["payload_bytes"] / dt / 1e6, 1),
+    }
+
+
 def run_scale_paths(sf_dir: str, cpus: int) -> dict[str, float]:
     """Head-to-head: bucketed scale paths vs their brute-force twins at a
     10× cap (VERDICT r2 item 8) — proving the bucketed plans win on real
@@ -694,9 +740,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     scaling: dict = {}
     scale_paths: dict[str, float] = {}
+    warc: dict = {}
     try:
         corpus = _bench_corpus()
         timings = run_headline(sf_dir, cpus)
+        try:
+            warc = run_warc_ingest(corpus, cpus)
+            timings["warc_ingest"] = warc["warc_ingest_sec"]
+        except Exception as e:
+            warc = {"error": repr(e)[:200]}
         try:
             scale_paths = run_scale_paths(sf_dir, cpus)
         except Exception as e:
@@ -717,6 +769,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "scale_paths": scale_paths,
+        "warc_ingest": warc,
         "frontier": scaling,
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:

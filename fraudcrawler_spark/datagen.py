@@ -446,10 +446,13 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
                       allow_truncated_timestamps=True, row_group_size=4096)
         paths[name] = p
     # the same pages, archived as genuine WARC (sources/warc.py) — the
-    # batch-ingest twin of the reference's live HTTP fetch
+    # batch-ingest twin of the reference's live HTTP fetch. File count
+    # scales with the corpus (≈2000 records/file) so the file-per-task
+    # reader keeps its parallelism at any n_pages.
     from fraudcrawler_spark.sources.warc import write_warc
 
-    write_warc(os.path.join(out_dir, "warc"), tables["pages"])
+    write_warc(os.path.join(out_dir, "warc"), tables["pages"],
+               n_files=max(4, n_pages // 2000))
     paths["warc"] = os.path.join(out_dir, "warc")
     return paths
 
