@@ -1196,3 +1196,62 @@ SELECT url,
   md5(array_to_string(paras, chr(10))) AS main_hash
 FROM p
 """
+
+
+# --------------------------------------------------------------------------
+# r4: crawl snapshot delta — the incremental-recrawl diff every archive
+# pipeline runs between crawl t0 and t1 (added / removed / changed /
+# unchanged by content hash). Deterministic snapshot construction from
+# the documents table (A drops doc_id%11==3; B drops doc_id%13==5 and
+# revises doc_id%7==2) keeps every status class populated at any sf.
+# Scale shape: md5 is computed MAP-SIDE and the text column is projected
+# away BEFORE the full-outer sort-merge join, so only (id, source, 32-
+# byte hash) ever crosses the exchange — at 100 TB the shuffle carries
+# ~1% of the corpus bytes; the join key is the uniform doc id (no skew).
+# --------------------------------------------------------------------------
+
+def q_crawl_delta(spark, sf_dir):
+    """Snapshot diff by content hash: full-outer join of two crawl
+    snapshots on the document key; emits one row per url in either
+    snapshot with its delta status."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a = docs.where(F.pmod(F.col("doc_id"), F.lit(11)) != 3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.md5("text").alias("h_old"),
+    )
+    revised = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 2,
+        F.concat(F.col("text"), F.lit(" [rev2]")),
+    ).otherwise(F.col("text"))
+    b = docs.where(F.pmod(F.col("doc_id"), F.lit(13)) != 5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.md5(revised).alias("h_new"),
+    )
+    j = a.join(b, ["doc_id", "source"], "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("doc_id", "source", status.alias("status"))
+
+
+SQL_CRAWL_DELTA = """
+WITH a AS (
+  SELECT doc_id, source, md5(text) AS h_old
+  FROM documents WHERE doc_id % 11 != 3),
+b AS (
+  SELECT doc_id, source,
+    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text END) AS h_new
+  FROM documents WHERE doc_id % 13 != 5)
+SELECT CAST(COALESCE(a.doc_id, b.doc_id) AS BIGINT) AS doc_id,
+  COALESCE(a.source, b.source) AS source,
+  CASE WHEN a.doc_id IS NULL THEN 'added'
+       WHEN b.doc_id IS NULL THEN 'removed'
+       WHEN h_old != h_new THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id AND a.source = b.source
+"""

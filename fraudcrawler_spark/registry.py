@@ -1180,3 +1180,7 @@ assert len(_DRIVER_WINDOW) <= 50, (
 # r4: boilerplate removal — block-level link-density main-content
 # extraction (Kohlschütter et al.), all-JVM regexp/array expressions
 REGISTRY["boilerplate"] = (cc.q_boilerplate, cc._sql_boilerplate())
+
+# r4: crawl snapshot delta — incremental-recrawl diff by content hash
+# (hashes computed map-side; text never crosses the join exchange)
+REGISTRY["crawl_delta"] = (cc.q_crawl_delta, cc.SQL_CRAWL_DELTA)

@@ -492,3 +492,59 @@ def test_audio_decode_pruned_scan_no_shuffle(spark, sf_dir):
     p2 = _plan(spark, q_audio_resample(spark, sf_dir))
     assert "Exchange" not in p2
     assert "ReadSchema: struct<clip_id:bigint,wav:binary>" in p2
+
+
+def test_crawl_delta_hashes_before_join(spark, sf_dir):
+    """Snapshot-delta plan: md5 map-side, full-outer SMJ on the id key —
+    the KB-scale text column must never cross an exchange (only 32-byte
+    hashes shuffle at 100 TB)."""
+    from fraudcrawler_spark.conformance_corpus import q_crawl_delta
+
+    p = _plan(spark, q_crawl_delta(spark, sf_dir))
+    assert "FullOuter" in p
+    assert "EvalPython" not in p
+    for block in re.split(r"\(\d+\) Exchange", p)[1:]:
+        head = block.split("Input [")[1].split("]")[0] if "Input [" in block else ""
+        assert "text" not in head, head
+
+
+def test_boilerplate_jvm_single_scan(spark, sf_dir):
+    """Boilerplate extraction is regexp/array exprs in whole-stage
+    codegen: no Python stage, no exchange, one pages scan."""
+    from fraudcrawler_spark.conformance_corpus import q_boilerplate
+
+    p = _plan(spark, q_boilerplate(spark, sf_dir))
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "Exchange" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_video_and_charset_pruned_scan_no_shuffle(spark, sf_dir):
+    """The r4 byte-decode kernels: one Arrow MapInPandas over a pruned
+    2-column scan, zero exchanges — metadata columns never read."""
+    from fraudcrawler_spark.registry import q_charset_decode, q_video_decode
+
+    p = _plan(spark, q_video_decode(spark, sf_dir))
+    assert "MapInPandas" in p and "Exchange" not in p
+    assert "ReadSchema: struct<video_id:bigint,avi:binary>" in p
+
+    p2 = _plan(spark, q_charset_decode(spark, sf_dir))
+    assert "MapInPandas" in p2 and "Exchange" not in p2
+    assert "ReadSchema: struct<doc_id:bigint,data:binary>" in p2
+
+
+def test_warc_reader_file_per_task_no_shuffle(spark, sf_dir):
+    """WARC ingest: binaryFile scan → one Arrow MapInPandas, zero
+    exchanges before the record table materializes (file = split unit);
+    warc_hosts aggregates with a partial (map-side) HashAggregate so
+    only per-host partials shuffle, never payloads."""
+    from fraudcrawler_spark.registry import q_warc_hosts, q_warc_read
+
+    p = _plan(spark, q_warc_read(spark, sf_dir))
+    assert "MapInPandas" in p and "Exchange" not in p
+
+    p2 = _plan(spark, q_warc_hosts(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) HashAggregate", p2)) == 2  # partial+final
+    for block in re.split(r"\(\d+\) Exchange", p2)[1:]:
+        head = block.split("Input [")[1].split("]")[0] if "Input [" in block else ""
+        assert "payload" not in head, head
