@@ -23,6 +23,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     q = registry.queries()
 
+    print("== 0. ingest (WARC → clean text) ==")
+    warc = q["warc_read"](spark, sf_dir)
+    print(f"WARC response records, digest-verified: {warc.count()}")
+    cs = q["charset_decode"](spark, sf_dir)
+    cs.groupBy("detected_enc").count().orderBy("detected_enc").show()
+    bp = q["boilerplate"](spark, sf_dir)
+    bp.agg(F.round(F.avg("link_density"), 3).alias("avg_link_density")).show()
+    delta = q["crawl_delta"](spark, sf_dir)
+    delta.groupBy("status").count().orderBy("status").show()
+
     print("== 1. corpus governance ==")
     prep = q["corpus_prep"](spark, sf_dir)
     print(f"corpus_prep survivors: {prep.count()}")
