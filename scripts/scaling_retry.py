@@ -22,8 +22,12 @@ import bench  # noqa: E402
 def main() -> None:
     corpus = bench._bench_corpus()
     scaling = bench.apply_host_ceilings(bench.run_scaling(corpus))
+    raw_pair = scaling.get("best_pair_efficiency") or 0
+    scaling = bench.fold_run_history(scaling, "scaling_retry")
+    history = scaling.pop("history", [])
     summary = {
         "scaling_efficiency": scaling.get("scaling_efficiency"),
+        "best_pair_efficiency_this_run": raw_pair,
         "best_pair_efficiency": scaling.get("best_pair_efficiency"),
         "compute_control_efficiency": scaling.get("compute_control", {}).get(
             "efficiency"
@@ -37,18 +41,19 @@ def main() -> None:
     if os.path.exists(full_path):
         with open(full_path) as f:
             rec = json.load(f)
+        rec["history"] = history  # every attempt is on the record
         prev = rec.get("frontier", {}).get("best_pair_efficiency") or 0
-        if (scaling.get("best_pair_efficiency") or 0) > prev:
+        if raw_pair > prev:
             rec["frontier"] = scaling
             rec["value"] = scaling.get("core_4n_urls_per_sec", rec.get("value"))
             rec["scaling_retry"] = True
-            with open(full_path, "w") as f:
-                json.dump(rec, f, indent=1)
-            print(f"BENCH_FULL.json updated: best pair {prev} -> "
-                  f"{scaling.get('best_pair_efficiency')}")
+            print(f"BENCH_FULL.json frontier updated: best pair {prev} -> "
+                  f"{raw_pair}")
         else:
-            print(f"kept existing record (best pair {prev} >= "
-                  f"{scaling.get('best_pair_efficiency')})")
+            print(f"frontier kept (best pair {prev} >= {raw_pair}); "
+                  "history appended")
+        with open(full_path, "w") as f:
+            json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":
