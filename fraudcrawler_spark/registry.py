@@ -1184,3 +1184,45 @@ REGISTRY["boilerplate"] = (cc.q_boilerplate, cc._sql_boilerplate())
 # r4: crawl snapshot delta — incremental-recrawl diff by content hash
 # (hashes computed map-side; text never crosses the join exchange)
 REGISTRY["crawl_delta"] = (cc.q_crawl_delta, cc.SQL_CRAWL_DELTA)
+
+
+def q_streaming_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WARC ingest with a full value oracle: tail a landing
+    directory of arriving crawl segments (readStream binaryFile +
+    the same Arrow record parser as batch, 2 files/micro-batch),
+    availableNow through a parquet sink, read back. With deterministic
+    input the streamed record table equals the batch read — so this
+    STREAMING entry shares the batch `warc_read` oracle, the same way
+    `streaming_sessions` is value-checked."""
+    import os
+    import shutil
+    import tempfile
+
+    from fraudcrawler_spark.sources.warc import read_warc_stream
+
+    base = os.path.join(tempfile.gettempdir(), "fc_conf_stream_warc")
+    shutil.rmtree(base, ignore_errors=True)
+    indir = os.path.join(base, "in")
+    os.makedirs(indir)
+    src = os.path.join(_crawl_corpus(), "warc")
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), os.path.join(indir, f))
+
+    recs = read_warc_stream(spark, indir, max_files_per_trigger=2)
+    q = (
+        recs.writeStream.format("parquet")
+        .option("path", os.path.join(base, "out"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(os.path.join(base, "out"))
+    return out.where(F.col("warc_type") == "response").select(
+        "record_id", "target_uri", "warc_date", "http_status",
+        "content_length", "payload_sha256", "digest_ok",
+    )
+
+
+REGISTRY["streaming_warc"] = (q_streaming_warc, SQL_WARC_READ)

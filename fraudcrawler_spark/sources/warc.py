@@ -47,6 +47,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 _CRLF = b"\r\n"
@@ -195,18 +196,14 @@ WARC_SCHEMA = StructType(
 )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC directory/glob → one row per record. File = split unit
-    (binaryFile rows are whole files — the Common Crawl convention);
-    non-response records surface with null HTTP fields; ``payload`` is
-    the HTTP body (binary), with its recomputed sha256 checked against
-    the record's own ``WARC-Payload-Digest`` in ``digest_ok``."""
-
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
-        .load(path)
-    )
+def parse_warc_files(files: DataFrame) -> DataFrame:
+    """(path, content) file rows → one row per WARC record. Works on
+    batch AND streaming DataFrames (mapInPandas is a stateless map, so
+    the same Arrow parser serves ``spark.read`` and ``readStream``
+    sources); non-response records surface with null HTTP fields;
+    ``payload`` is the HTTP body (binary), with its recomputed sha256
+    checked against the record's own ``WARC-Payload-Digest`` in
+    ``digest_ok``."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
@@ -250,3 +247,43 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Batch WARC ingest: directory/glob → record table. File = split
+    unit (binaryFile rows are whole files — the Common Crawl
+    convention: segment files ARE the unit of parallelism)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+    )
+    return parse_warc_files(files)
+
+
+# binaryFile's fixed schema, needed explicitly by the streaming source
+_BINARY_FILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming WARC ingest: watch a landing directory for arriving
+    crawl segments (the production shape: the fetcher fleet drops
+    ``.warc.gz`` files, the engine tails the directory) and parse each
+    new file into record rows. Same parser, same output schema as the
+    batch reader; ``maxFilesPerTrigger`` bounds per-microbatch work."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return parse_warc_files(reader.load(path))
