@@ -105,3 +105,50 @@ def test_read_warc_spark(spark, tmp_path):
     assert priv["http_status"] == 403
     info = [r for r in rows.values() if r["warc_type"] == "warcinfo"]
     assert len(info) == 2 and all(r["http_status"] is None for r in info)
+
+
+def test_read_warc_stream_incremental_exactly_once(spark, tmp_path):
+    """Streaming ingest semantics: an availableNow pass drains the
+    landing dir; a LATE-arriving segment processed via the SAME
+    checkpoint is ingested exactly once (no reprocessing of old files,
+    no loss) — the restartable tail-the-directory contract."""
+    import os
+    import shutil
+
+    from fraudcrawler_spark.sources.warc import read_warc_stream
+
+    src = str(tmp_path / "src")
+    write_warc(src, _pages(), n_files=3)
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    files = sorted(os.listdir(src))
+    for f in files[:2]:
+        shutil.copy(os.path.join(src, f), os.path.join(land, f))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            read_warc_stream(spark, land, max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert first.where("warc_type = 'response'").count() == 5  # 7 pages, file 3 absent
+
+    shutil.copy(os.path.join(src, files[2]), os.path.join(land, files[2]))
+    drain()
+    second = spark.read.parquet(out)
+    resp = second.where("warc_type = 'response'")
+    assert resp.count() == 7  # late file ingested...
+    assert resp.select("record_id").distinct().count() == 7  # ...exactly once
+    assert second.count() == n1 + (7 - 5) + 1  # + its warcinfo record
