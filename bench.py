@@ -719,13 +719,16 @@ def fold_run_history(scaling: dict, source: str) -> dict:
     hist.append(entry)
     scaling["history"] = hist
 
+    # promotion pool is NON-contaminated history ONLY (ADVICE r4 medium):
+    # when every history entry is flagged, promote nothing — this run's
+    # raw numbers stay the headline rather than silently elevating the
+    # best contaminated figure on record.
     clean = [h for h in hist if not h.get("all_cycles_contaminated")]
-    pool = clean or hist
     best4n = max(
-        (h.get("core_4n_urls_per_sec") or 0 for h in pool), default=0
+        (h.get("core_4n_urls_per_sec") or 0 for h in clean), default=0
     )
     best_pair = max(
-        (h.get("best_pair_efficiency") or 0 for h in pool), default=0
+        (h.get("best_pair_efficiency") or 0 for h in clean), default=0
     )
     cur4n = scaling.get("core_4n_urls_per_sec") or 0
     if best4n > cur4n:

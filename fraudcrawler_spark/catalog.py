@@ -29,6 +29,12 @@ Re-attempted r4 (2026-08-17): urllib to repo1.maven.org → DNS gaierror
 (-2), ``pip download pyiceberg`` → no route, full-disk ``find`` for any
 iceberg/delta/hudi jar → none. Conclusion unchanged: the runtime branch
 is exercisable only outside this sandbox.
+
+Re-attempted r5 (2026-08-17 22:35 UTC): ``pip download pyiceberg
+--no-deps`` → "No matching distribution found" (resolver reaches no
+index), ``curl -I repo1.maven.org`` → no response, full-disk find for
+iceberg/delta jars → none. Conclusion unchanged; the probe + the
+documented spark-submit --packages path remain the activation story.
 """
 
 from __future__ import annotations

@@ -83,3 +83,40 @@ def decode_text_bytes(df: DataFrame, binary_col: str = "data") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", binary_col).mapInPandas(gen, CHARSET_SCHEMA)
+
+
+PAYLOAD_TEXT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("http_status", LongType()),
+        StructField("detected_enc", StringType()),
+        StructField("html", StringType()),
+    ]
+)
+
+
+def decode_payload_text(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """URL-keyed twin of :func:`decode_text_bytes` for the WARC ingest
+    path: (url, http_status, <payload bytes>) → (url, http_status,
+    detected_enc, html). Same sniff-and-repair kernel, same Arrow
+    batching; the key rides through the batch untouched so the stage
+    composes inside the raw-bytes→clean-text→frontier DAG
+    (registry.q_crawl_ingest_round) without a join back."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "http_status": [], "detected_enc": [],
+                   "html": []}
+            for url, status, raw in zip(
+                pdf["url"], pdf["http_status"], pdf[binary_col]
+            ):
+                enc, text = sniff_and_decode(bytes(raw))
+                out["url"].append(url)
+                out["http_status"].append(int(status))
+                out["detected_enc"].append(enc)
+                out["html"].append(text)
+            yield pd.DataFrame(out)
+
+    return df.select("url", "http_status", binary_col).mapInPandas(
+        gen, PAYLOAD_TEXT_SCHEMA
+    )

@@ -53,6 +53,14 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
+        # a chunk whose declared size overruns the payload is truncation —
+        # raise like avi.py's _dib_unpack does, never return fewer samples
+        # silently (ADVICE r4)
+        if len(body) < size and cid in (b"fmt ", b"data"):
+            raise ValueError(
+                f"truncated {cid.decode('ascii', 'replace').strip()} chunk: "
+                f"declared {size} bytes, {len(body)} present"
+            )
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("truncated fmt chunk")
@@ -65,8 +73,12 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
                 )
             sample_rate = sr
         elif cid == b"data":
+            if size & 1:
+                raise ValueError(
+                    f"odd data chunk size {size} is invalid for 16-bit PCM"
+                )
             pcm = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if sample_rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
-    return sample_rate, np.frombuffer(pcm[: len(pcm) & ~1], dtype="<i2")
+    return sample_rate, np.frombuffer(pcm, dtype="<i2")

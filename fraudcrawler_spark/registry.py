@@ -277,18 +277,28 @@ def q_crawl_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing over the html:binary column (stubbed
-    decode kernel, real schema/batching) — rows-only."""
+    """Multimodal decode stage over the html:binary column (mapInPandas
+    Arrow batches; BMP payloads take the real codec, opaque payloads the
+    strided byte-feature fallback). The corpus html is pure-ASCII
+    deterministic bytes, so md5/length/byte-stats are all DuckDB-
+    expressible — full value oracle since r5 (VERDICT r4 item 2)."""
     from fraudcrawler_spark.functions.multimodal import decode_binary_meta
 
     pages = spark.read.parquet(f"{_crawl_corpus()}/pages.parquet")
-    return decode_binary_meta(pages.select("url", "html"), "html")
+    out = decode_binary_meta(pages.select("url", "html"), "html")
+    return out.select(
+        "url", "n_bytes", "content_hash",
+        F.round("feat_mean", 4).alias("feat_mean"),
+        F.round("feat_std", 4).alias("feat_std"),
+    )
 
 
 def q_crawl_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame-sampling plumbing over html:binary (UDTF-like 1→N
-    fan-out inside the Arrow batch; deterministic stub decoder) —
-    rows-only."""
+    """Multimodal frame-sampling over html:binary (UDTF-like 1→N fan-out
+    inside the Arrow batch; deterministic 512-byte-chunk stand-in
+    decoder — the REAL container path is `video_frames` over genuine
+    AVI bytes). Chunk hashes/indices are DuckDB-expressible over the
+    ASCII corpus — full value oracle since r5 (VERDICT r4 item 2)."""
     from fraudcrawler_spark.functions.multimodal import sample_frames
 
     pages = spark.read.parquet(f"{_crawl_corpus()}/pages.parquet")
@@ -298,7 +308,12 @@ def q_crawl_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest (watermark dedup + in-stream extract)
     run with availableNow over the synthetic corpus, read back as a batch
-    DataFrame — rows-only (streaming is not SQL-oracle-able)."""
+    DataFrame. The input directory holds TWO copies of the pages batch so
+    dropDuplicatesWithinWatermark genuinely collapses duplicates across
+    micro-batches; with deterministic input the streamed table equals the
+    batch extraction over distinct urls, so this STREAMING entry shares a
+    batch DuckDB oracle the same way `streaming_warc` does (VERDICT r4
+    item 2)."""
     import os
     import shutil
     import tempfile
@@ -311,17 +326,22 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(indir)
     src = os.path.join(_crawl_corpus(), "pages.parquet")
     shutil.copy(src, os.path.join(indir, "b1.parquet"))
+    shutil.copy(src, os.path.join(indir, "b2.parquet"))
     q = ingest_query(spark, indir, os.path.join(base, "out"),
                      os.path.join(base, "ckpt"))
-    q.trigger(availableNow=True).start().awaitTermination(300)
-    return spark.read.parquet(os.path.join(base, "out"))
+    # availableNow is guaranteed to terminate; assert the drain finished
+    # rather than reading a partially-written sink (ADVICE r4)
+    assert q.trigger(availableNow=True).start().awaitTermination(300), (
+        "streaming ingest drain did not finish within 300s"
+    )
+    out = spark.read.parquet(os.path.join(base, "out"))
+    return out.withColumn("warc_ts", F.col("warc_ts").cast("long"))
 
 
-_ROWS_ONLY: dict[str, QueryFn] = {
-    "crawl_multimodal": q_crawl_multimodal,
-    "crawl_frames": q_crawl_frames,
-    "streaming_ingest": q_streaming_ingest,
-}
+# rows-only queries (non-SQL-expressible) — EMPTY since r5: the last trio
+# gained full DuckDB value oracles (VERDICT r4 item 2). Kept as a hook so
+# genuinely un-oracle-able future entries have a documented home.
+_ROWS_ONLY: dict[str, QueryFn] = {}
 
 
 # --------------------------------------------------------------------------
@@ -639,7 +659,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), (
+        "streaming sessions drain did not finish within 300s"
+    )
     out = spark.read.parquet(os.path.join(base, "out"))
     return out.select(
         F.unix_micros("session_start").alias("start_us"),
@@ -683,6 +705,283 @@ REGISTRY["streaming_sessions"] = (q_streaming_sessions, SQL_STREAMING_SESSIONS)
 
 REGISTRY["crawl_pipeline"] = (q_crawl_pipeline, SQL_CRAWL_PIPELINE)
 REGISTRY["crawl_frontier_round"] = (q_crawl_frontier_round, SQL_CRAWL_ROUND)
+
+
+# --------------------------------------------------------------------------
+# r5: full DuckDB value oracles for the last three rows-only entries
+# (VERDICT r4 item 2). The corpus html is pure-ASCII deterministic bytes
+# (datagen.gen_pages), so decode(html) in DuckDB yields a VARCHAR whose
+# UTF-8 bytes ARE the payload bytes: md5(decode(html)) == hashlib.md5(raw)
+# and unicode(substr(...)) recovers individual byte values.
+# --------------------------------------------------------------------------
+
+# _byte_features (multimodal.py:50): strided sample data[::max(1, n//256)]
+# → population mean/std. Sample index i contributes while i*step < n, so
+# the series bound only needs to exceed max sample length (≤ 512).
+SQL_CRAWL_MULTIMODAL = rf"""
+WITH p AS (
+  SELECT url, decode(html) AS s, octet_length(html) AS n
+  FROM read_parquet('{_D}/pages.parquet')
+),
+st AS (SELECT url, s, n, greatest(1, n // 256) AS step FROM p),
+b AS (
+  SELECT st.url,
+         unicode(substr(st.s, 1 + i.i * st.step, 1))::DOUBLE AS v
+  FROM st JOIN generate_series(0, 600) AS i(i) ON i.i * st.step < st.n
+),
+g AS (SELECT url, AVG(v) AS m, AVG(v * v) AS m2 FROM b GROUP BY url)
+SELECT p.url, p.n AS n_bytes, md5(p.s) AS content_hash,
+  ROUND(g.m, 4) AS feat_mean,
+  ROUND(sqrt(g.m2 - g.m * g.m), 4) AS feat_std
+FROM p LEFT JOIN g USING (url)
+"""
+
+# sample_frames (multimodal.py:381): n_frames = n // 512, keep every 8th
+# frame index; chunk i is bytes [i*512, (i+1)*512) — always full 512 bytes
+# because i < n // 512.
+SQL_CRAWL_FRAMES = rf"""
+WITH p AS (
+  SELECT url, decode(html) AS s, octet_length(html) AS n
+  FROM read_parquet('{_D}/pages.parquet')
+)
+SELECT p.url,
+  i.i::BIGINT AS frame_idx,
+  i.i::DOUBLE / 25.0 AS ts_sec,
+  512::BIGINT AS frame_bytes,
+  md5(substr(p.s, 1 + i.i * 512, 512)) AS frame_hash
+FROM p JOIN generate_series(0, 4095) AS i(i)
+  ON i.i < p.n // 512 AND i.i % 8 = 0
+"""
+
+# streaming_ingest shares a BATCH oracle (the stream drains two identical
+# copies of the pages batch; dropDuplicatesWithinWatermark collapses them
+# back to one row per url with identical extracted values).
+SQL_STREAMING_INGEST = rf"""
+WITH pages AS (SELECT * FROM read_parquet('{_D}/pages.parquet')),
+fetched AS (
+  SELECT url, epoch(warc_ts)::BIGINT AS warc_ts, lang, decode(html) AS doc
+  FROM pages
+),
+dom AS ({_SQL_CANON_DOMAIN.format(src="fetched")}),
+ext AS (
+  SELECT url, domain AS host, warc_ts, lang, {_SQL_EXTRACT_FIELDS},
+    list_aggregate(list_filter(list_transform(
+      string_split(regexp_replace(doc, '<[^>]+>', chr(10), 'g'), chr(10)),
+      x -> trim(x)), x -> x <> ''), 'string_agg', chr(10)) AS extracted_text
+  FROM dom
+)
+SELECT url, host, warc_ts, lang, product_name, product_price, probability,
+  extracted_text,
+  (probability IS NOT NULL AND probability <= 0.1) AS filtered,
+  CASE WHEN probability IS NOT NULL AND probability <= 0.1
+       THEN 'Zyte probability threshold' END AS filtered_at_stage
+FROM ext
+"""
+
+REGISTRY["crawl_multimodal"] = (q_crawl_multimodal, SQL_CRAWL_MULTIMODAL)
+REGISTRY["crawl_frames"] = (q_crawl_frames, SQL_CRAWL_FRAMES)
+REGISTRY["streaming_ingest"] = (q_streaming_ingest, SQL_STREAMING_INGEST)
+
+
+# --------------------------------------------------------------------------
+# r5: raw-bytes→clean-text→frontier composite (VERDICT r4 item 4). The r4
+# ingest operators existed only as standalone entries; this is the end-to-
+# end ingest prefix of a frontier round as ONE DAG, the Spark analog of
+# the reference's fetch→extract stage (zyte.py:50-98 →
+# orchestrator.py:190-236) run over genuine archive bytes:
+#
+#   WARC bytes (sources/warc.py, binaryFile + Arrow record parser)
+#     → charset sniff/repair (functions/charset.py — the only Python
+#       stages are the two genuine codec kernels; everything after is
+#       JVM whole-stage codegen)
+#     → boilerplate block split + link-density (Kohlschütter-style)
+#     → C4-style paragraph gates (len%3 punct stand-in + ≥5 words)
+#     → out-link extraction → canonical_url → seen anti-join (archived
+#       200s stand in for the Bloom/cuckoo SeenStore probe at test
+#       scale; at 10^10 urls this exact anti-join IS the seen store's
+#       partitioned probe, hash-partitioned on target) → robots gate
+#     → per-page next-frontier contribution counts.
+#
+# Scale shape: records parse file-per-task (the Common-Crawl layout);
+# the html string crosses ZERO exchanges (paragraph/link features are
+# computed in the same stage that decodes); only (url, target) pairs and
+# 32-byte hashes shuffle; robots is a broadcast dim.
+# --------------------------------------------------------------------------
+
+def q_crawl_ingest_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ingest round from raw archive bytes: per archived page, the
+    decoded/cleaned-content features plus how many robots-allowed,
+    not-yet-fetched urls the page contributes to the next frontier.
+
+    The seen branch re-reads the archive (two scans here); a production
+    round persists the parsed records table first (exactly what
+    frontier/crawl.py's checkpointed rounds do) so the bytes are parsed
+    once — the conformance entry keeps the single-DAG form so the whole
+    path is one oracle-checked plan."""
+    import os
+
+    from fraudcrawler_spark.functions.charset import decode_payload_text
+    from fraudcrawler_spark.functions.urls import (
+        canonical_host_expr,
+        canonical_url_expr,
+    )
+    from fraudcrawler_spark.sources.warc import read_warc
+
+    corpus = _crawl_corpus()
+    recs = read_warc(spark, os.path.join(corpus, "warc")).where(
+        F.col("warc_type") == "response"
+    )
+    dec = decode_payload_text(
+        recs.select(F.col("target_uri").alias("url"), "http_status", "payload")
+    )
+
+    html = F.col("html")
+    blocks = dec.select(
+        "url", "http_status", "detected_enc",
+        F.regexp_extract_all(html, F.lit(r"<p[^>]*>(.*?)</p>"), 1).alias("paras"),
+        F.regexp_extract_all(html, F.lit(r"<a [^>]*>(.*?)</a>"), 1).alias("links"),
+        F.regexp_extract_all(html, F.lit(r'<a href="([^"]*)"'), 1).alias("hrefs"),
+    )
+
+    def chars(arr):
+        return F.aggregate(
+            F.transform(arr, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        )
+
+    kept = F.filter(
+        F.col("paras"),
+        lambda x: (F.length(x) % 3 != 2) & (F.size(F.split(x, " ")) >= 5),
+    )
+    feat = blocks.select(
+        "url",
+        canonical_host_expr(F.col("url")).alias("host"),
+        "http_status", "detected_enc",
+        F.size("paras").cast("long").alias("n_blocks"),
+        chars(F.col("paras")).cast("long").alias("main_chars"),
+        chars(F.col("links")).cast("long").alias("link_chars"),
+        F.round(
+            chars(F.col("links"))
+            / (chars(F.col("paras")) + chars(F.col("links"))),
+            4,
+        ).alias("link_density"),
+        kept.alias("kept"),
+        F.size("hrefs").cast("long").alias("n_outlinks"),
+        "hrefs",
+    ).select(
+        "url", "host", "http_status", "detected_enc",
+        "n_blocks", "main_chars", "link_chars", "link_density",
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.size("kept") >= 3).alias("content_kept"),
+        F.when(F.size("kept") >= 3,
+               F.md5(F.array_join("kept", "\n"))).alias("clean_hash"),
+        "n_outlinks",
+        "hrefs",
+    )
+
+    targets = (
+        feat.select("url", F.explode("hrefs").alias("href"))
+        .select("url", canonical_url_expr(F.col("href")).alias("target"))
+        .distinct()
+    )
+    # seen = successfully archived pages (200s); 403s are re-queue
+    # candidates. At 10^10 urls this anti-join is the partitioned
+    # SeenStore probe (frontier/seen.py) — same key, same shape.
+    seen = recs.where(F.col("http_status") == 200).select(
+        F.col("target_uri").alias("target")
+    )
+    robots = spark.read.parquet(os.path.join(corpus, "robots.parquet"))
+    tpath = F.regexp_replace(F.col("target"), r"^https?://[^/]+", "")
+    frontier = (
+        targets.join(seen, "target", "left_anti")
+        .withColumn("thost", canonical_host_expr(F.col("target")))
+        .join(F.broadcast(robots), F.col("thost") == robots["host"], "left")
+        .where(
+            ~F.exists(
+                F.coalesce("disallow_prefixes", F.array().cast("array<string>")),
+                lambda p: tpath.startswith(p),
+            )
+        )
+        .groupBy("url")
+        .agg(F.count("*").alias("n_frontier"))
+    )
+
+    return (
+        feat.drop("hrefs")
+        .join(frontier, "url", "left")
+        .withColumn(
+            "n_frontier", F.coalesce("n_frontier", F.lit(0)).cast("long")
+        )
+    )
+
+
+SQL_CRAWL_INGEST_ROUND = rf"""
+WITH rec AS (
+  SELECT url,
+    CAST(CASE WHEN url LIKE '%/private/%' THEN 403 ELSE 200 END
+         AS BIGINT) AS http_status,
+    decode(html) AS doc
+  FROM read_parquet('{_D}/pages.parquet')
+),
+b AS (
+  SELECT url, http_status,
+    regexp_extract_all(doc, '<p[^>]*>(.*?)</p>', 1) AS paras,
+    regexp_extract_all(doc, '<a [^>]*>(.*?)</a>', 1) AS links,
+    regexp_extract_all(doc, '<a href="([^"]*)"', 1) AS hrefs
+  FROM rec
+),
+feat AS (
+  SELECT url,
+    regexp_replace(lower(regexp_extract(url,
+      '^(?:https?://)?(?:[^/@:?#]*@)?([^/@:?#]+)', 1)), '^www\.', '') AS host,
+    http_status,
+    'utf8' AS detected_enc,
+    CAST(len(paras) AS BIGINT) AS n_blocks,
+    CAST(coalesce(list_sum(list_transform(paras, x -> length(x))), 0)
+         AS BIGINT) AS main_chars,
+    CAST(coalesce(list_sum(list_transform(links, x -> length(x))), 0)
+         AS BIGINT) AS link_chars,
+    list_filter(paras, x -> length(x) % 3 <> 2
+                        AND len(string_split(x, ' ')) >= 5) AS kept,
+    CAST(len(hrefs) AS BIGINT) AS n_outlinks,
+    hrefs
+  FROM b
+),
+tgt AS (
+  SELECT DISTINCT url,
+    'https://' || regexp_replace(lower(regexp_extract(href,
+       '^(?:https?://)?(?:[^/@:?#]*@)?([^/@:?#]+)', 1)), '^www\.', '')
+     || regexp_replace(regexp_replace(href,
+       '^(?:https?://)?(?:[^/@:?#]*@)?[^/@:?#]+', ''), '#.*$', '') AS target
+  FROM (SELECT url, unnest(hrefs) AS href FROM b)
+),
+frontier AS (
+  SELECT t.url, COUNT(*) AS n_frontier
+  FROM tgt t
+  LEFT JOIN read_parquet('{_D}/robots.parquet') r
+    ON regexp_replace(lower(regexp_extract(t.target,
+         '^(?:https?://)?(?:[^/@:?#]*@)?([^/@:?#]+)', 1)), '^www\.', '')
+       = r.host
+  WHERE t.target NOT IN (SELECT url FROM rec WHERE http_status = 200)
+    AND NOT COALESCE(
+      len(list_filter(COALESCE(r.disallow_prefixes, []),
+          p -> starts_with(
+            regexp_replace(t.target, '^https?://[^/]+', ''), p))) > 0,
+      FALSE)
+  GROUP BY t.url
+)
+SELECT f.url, f.host, f.http_status, f.detected_enc,
+  f.n_blocks, f.main_chars, f.link_chars,
+  ROUND(f.link_chars / (f.main_chars + f.link_chars), 4) AS link_density,
+  CAST(len(f.kept) AS BIGINT) AS n_kept,
+  len(f.kept) >= 3 AS content_kept,
+  CASE WHEN len(f.kept) >= 3
+       THEN md5(array_to_string(f.kept, chr(10))) END AS clean_hash,
+  f.n_outlinks,
+  CAST(COALESCE(fr.n_frontier, 0) AS BIGINT) AS n_frontier
+FROM feat f LEFT JOIN frontier fr USING (url)
+"""
+
+REGISTRY["crawl_ingest_round"] = (q_crawl_ingest_round, SQL_CRAWL_INGEST_ROUND)
 
 
 # --------------------------------------------------------------------------
@@ -1102,73 +1401,63 @@ REGISTRY["charset_decode"] = (q_charset_decode, SQL_CHARSET_DECODE)
 # be added here (near the top) until they earn a green row.
 # --------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # flagship composites (full DuckDB oracles since r3, never driver-run)
-    "crawl_pipeline",
-    "crawl_frontier_round",
-    "corpus_to_shards",
-    "neardup_resolution",
-    "streaming_sessions",
-    # graph stage
-    "dedup_clusters",
-    "pagerank_priority",
-    "salted_agg",
-    # corpus-governance stage
-    "decontaminate",
-    "pii_scrub",
-    "dedup_passage",
-    "corpus_stats",
-    "url_normalize",
-    "tfidf_keywords",
-    "skew_report",
-    # LM-quality / dedup-before-ingest
-    "perplexity_score",
-    "perplexity_bigram",
-    "dedup_incremental",
-    "inverted_index",
-    "embedding_quantize",
-    # event-stream batch ops
-    "sessionize",
-    "asof_join",
-    "event_funnel",
-    "cohort_retention",
-    # training-mix stage
-    "stratified_sample",
-    "split_assign",
-    "group_sample",
-    "mixture_weights",
-    "corpus_shuffle",
-    "sequence_pack",
-    # link graph + banded simhash64 twin
-    "anchor_text_agg",
-    "simhash64_pairs_banded",
-    # rows-only trio (golden value-hash pinned in pytest; driver rows-check)
+    # --- never driver-green (VERDICT r4 item 1): the five late-r4 oracled
+    # entries that landed after the r4 driver check, plus the former
+    # rows-only trio that gained full DuckDB oracles in r5 ---
+    "warc_hosts",
+    "charset_decode",
+    "boilerplate",
+    "crawl_delta",
+    "streaming_warc",
     "crawl_multimodal",
     "crawl_frames",
     "streaming_ingest",
-    # r4: real BMP decode/resize (analytic pixel oracle)
-    "image_decode",
-    "image_resize",
-    # r4: eval harnesses
-    "pii_eval",
-    "quality_eval",
-    # r4: corpus additions
-    "paragraph_dedup",
-    "url_quality",
-    "filter_funnel",
-    # r4: decontamination eval + SemDeDup semantic dedup (never driver-run)
-    "decontaminate_eval",
-    "semdedup",
-    # r4: real WAV decode/resample (analytic sample-stream oracle)
-    "audio_decode",
-    "audio_resample",
-    # r4: full C4 clean (global line dedup)
-    "c4_clean",
-    # r4: real AVI decode/frame-sample (analytic pixel oracle)
-    "video_decode",
-    "video_frames",
-    # r4: WARC source ingest (record headers + digest from the bytes;
-    # warc_hosts is its aggregate twin, suite-oracled outside the window)
-    "warc_read",
+    # --- new in r5: raw-bytes→clean-text→frontier composite ---
+    "crawl_ingest_round",
+    # --- veterans whose last driver-green row is r3 (oldest cohort) —
+    # rotated in for freshness; the r4-green cohort rests this round and
+    # stays covered by the full pytest oracle replay ---
+    "pricing_summary",
+    "country_flag",
+    "canonical_host",
+    "marketplace_join",
+    "excluded_anti_join",
+    "dedup_first_wins",
+    "dedup_prev_run",
+    "keyword_topk",
+    "topk_per_seed",
+    "classify",
+    "probability_flag",
+    "fetch_left_outer",
+    "set_except",
+    "union_dedup",
+    "frontier_order",
+    "politeness_cells",
+    "pipeline_composite",
+    "market_share",
+    "top_suppliers",
+    "order_priority",
+    "dedup_exact",
+    "text_fingerprint",
+    "fingerprint_winnow",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "ann_topk",
+    "text_tokens",
+    "text_tokens_bpe",
+    "text_tokens_bpe_real",
+    "text_quality",
+    "text_langid",
+    "langid_eval",
+    "lsh_eval",
+    "multimodal_meta",
+    "ann_lsh",
+    "ann_lsh_multi",
+    "ann_ivf",
+    "corpus_prep",
+    "events_window_agg",
 ]
 
 # the driver correctness gate checks exactly the first 50 queries() —
@@ -1217,7 +1506,12 @@ def q_streaming_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow terminates deterministically; assert the drain finished
+    # instead of reading a partially-written sink on a contended host
+    # (ADVICE r4)
+    assert q.awaitTermination(120), (
+        "streaming WARC drain did not finish within 120s"
+    )
     out = spark.read.parquet(os.path.join(base, "out"))
     return out.where(F.col("warc_type") == "response").select(
         "record_id", "target_uri", "warc_date", "http_status",

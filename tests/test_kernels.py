@@ -346,6 +346,16 @@ def test_wav_codec_roundtrip():
     with _pytest.raises(ValueError, match="unsupported WAV"):
         wav_decode(bytes(bad))
 
+    # ADVICE r4: truncation must RAISE, never silently yield fewer
+    # samples — mirror avi.py's truncated-frame contract
+    whole = wav_encode(samples, 8000)
+    with _pytest.raises(ValueError, match="truncated data chunk"):
+        wav_decode(whole[:-3])  # data chunk body shorter than declared
+    odd = bytearray(whole)
+    struct.pack_into("<I", odd, 40, 9)  # declare an odd data size
+    with _pytest.raises(ValueError, match="odd data chunk"):
+        wav_decode(bytes(odd))
+
 
 def test_audio_decode_ignores_metadata(spark):
     """decode_audio_meta must recover rate/count from the BYTES, not the

@@ -41,7 +41,7 @@ def test_ingest_dedup_and_resume(spark, stream_dirs):
 
     _write_batch(batch1, os.path.join(stream_dirs["in"], "b1.parquet"))
     q = ingest_query(spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"])
-    q.trigger(availableNow=True).start().awaitTermination(120)
+    assert q.trigger(availableNow=True).start().awaitTermination(120)
 
     out1 = spark.read.parquet(stream_dirs["out"])
     assert out1.count() == 200
@@ -49,7 +49,7 @@ def test_ingest_dedup_and_resume(spark, stream_dirs):
 
     _write_batch(batch2, os.path.join(stream_dirs["in"], "b2.parquet"))
     q = ingest_query(spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"])
-    q.trigger(availableNow=True).start().awaitTermination(120)
+    assert q.trigger(availableNow=True).start().awaitTermination(120)
 
     out2 = spark.read.parquet(stream_dirs["out"])
     # checkpoint resume: b1 not reprocessed; within-watermark dups dropped
@@ -64,7 +64,7 @@ def test_host_window_counts(spark, stream_dirs, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("winout"))
     ckpt = str(tmp_path_factory.mktemp("winckpt"))
     agg = host_window_counts(spark, stream_dirs["in"])
-    (
+    assert (
         agg.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -72,6 +72,7 @@ def test_host_window_counts(spark, stream_dirs, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
         .awaitTermination(120)
+        is True
     )
     got = spark.read.parquet(out)
     # appended windows closed by the watermark; counts are per (window, host)
@@ -84,7 +85,7 @@ def test_host_rate_tracker_state(spark, stream_dirs, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("rateout"))
     ckpt = str(tmp_path_factory.mktemp("rateckpt"))
     tracked = host_rate_tracker(spark, stream_dirs["in"])
-    (
+    assert (
         tracked.writeStream.foreachBatch(
             lambda df, _id: df.write.mode("append").parquet(out)
         )
@@ -93,6 +94,7 @@ def test_host_rate_tracker_state(spark, stream_dirs, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
         .awaitTermination(120)
+        is True
     )
     got = spark.read.parquet(out).toPandas()
     assert set(got.columns) == {"host", "total_pages", "last_seen"}
@@ -130,7 +132,7 @@ def test_session_window_counts(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     res = spark.read.parquet(out)
     rows = res.collect()
     assert rows, "watermark-closed sessions must be emitted"

@@ -138,7 +138,7 @@ def test_read_warc_stream_incremental_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     drain()
     first = spark.read.parquet(out)
