@@ -69,9 +69,12 @@ HEADLINE = [
     "image_decode",
     "quality_eval",
     "sessionize",
-    # rows-only composites (fixed in r2: map flattened for the driver canon)
+    # fully-oracled composites since r5 (formerly rows-only)
     "crawl_pipeline",
     "crawl_frontier_round",
+    # r5: raw-bytes→clean-text→frontier ingest composite (WARC + charset
+    # + boilerplate + gates + outlink frontier in one DAG)
+    "crawl_ingest_round",
 ]
 
 

@@ -38,7 +38,19 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNGS = {"sf1_50k": 10, "sf3_150k": 30, "sf10_500k": 100}
 
 
-def synth(out_dir: str, k: int) -> None:
+def synth(out_dir: str, k: int, mode: str = "replica") -> None:
+    """Two deterministic corpus regimes:
+
+    - ``replica`` (make_sf1 recipe): replicas are NEAR-DUPS of the base
+      (suffix token only) — true collision mass grows QUADRATICALLY in
+      the replica count (every base doc becomes a k-clique). The right
+      regime for proving candidate mass tracks collision mass.
+    - ``diverse``: every token gets a per-replica suffix, so replicas
+      have disjoint token sets — true dup density is CONSTANT (each
+      replica reproduces the base's internal near-dups, nothing
+      cross-replica). The right regime for proving candidate mass grows
+      ~LINEARLY (plus the 16-bit-band birthday floor), not n².
+    """
     os.makedirs(out_dir, exist_ok=True)
     dst = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(dst):
@@ -49,14 +61,18 @@ def synth(out_dir: str, k: int) -> None:
         f"SELECT COUNT(*), MAX(doc_id) + 1 FROM '{SRC}/documents.parquet'"
     ).fetchone()
     stride = n[1]
+    if mode == "replica":
+        t = ("CASE WHEN g.k = 0 THEN text "
+             "ELSE text || ' rep' || g.k END")
+    else:
+        t = ("CASE WHEN g.k = 0 THEN text ELSE "
+             r"regexp_replace(text, '(\S+)', '\1q' || g.k, 'g') END")
     con.execute(f"""
         COPY (
           SELECT doc_id + g.k * {stride} AS doc_id,
-                 CASE WHEN g.k = 0 THEN text ELSE text || ' rep' || g.k END AS text,
+                 {t} AS text,
                  lang, source,
-                 CAST(length(CASE WHEN g.k = 0 THEN text
-                                  ELSE text || ' rep' || g.k END) AS BIGINT)
-                   AS n_chars
+                 CAST(length({t}) AS BIGINT) AS n_chars
           FROM '{SRC}/documents.parquet', generate_series(0, {k - 1}) AS g(k)
         ) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)
     """)
@@ -136,16 +152,23 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("fc_scale_ladder", cores=cpus)
+    modes = sys.argv[1:] or ["replica", "diverse"]
     out: dict = {}
+    path = os.path.join(REPO, "LADDER.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
     try:
-        for rung, k in RUNGS.items():
-            d = os.path.join(REPO, "data", f"ladder_{rung}")
-            synth(d, k)
-            out[rung] = run_rung(spark, d)
-            print(rung, json.dumps(out[rung]), flush=True)
+        for mode in modes:
+            for rung, k in RUNGS.items():
+                d = os.path.join(REPO, "data", f"ladder_{mode}_{rung}")
+                synth(d, k, mode)
+                key = f"{mode}_{rung}"
+                out[key] = run_rung(spark, d)
+                print(key, json.dumps(out[key]), flush=True)
     finally:
         spark.stop()
-    with open(os.path.join(REPO, "LADDER.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"ladder": out}))
 

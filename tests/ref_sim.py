@@ -290,10 +290,39 @@ def simulate_crawl(
         if row["url"] not in frontier:
             frontier[row["url"]] = (0, 0)
 
-    seen: set[str] = set()
+    # seen state with TTL-recrawl support (frontier/crawl.py:201-230 +
+    # _effective_seen): per-url claim-round history + last retire round.
+    # A url is (effectively) seen iff its LAST claim is >= its last retire
+    # — same-round retire+re-claim stays seen (crawl.py's `rc >= rr`).
+    claim_hist: dict[str, list[int]] = defaultdict(list)
+    retire_last: dict[str, int] = {}
+
+    def is_seen(u: str) -> bool:
+        h = claim_hist.get(u)
+        if not h:
+            return False
+        rr = retire_last.get(u)
+        return rr is None or h[-1] >= rr
+
     rounds = []
     all_results = []
     for round_no in range(max_rounds):
+        # --- TTL retire + re-enqueue (crawl.py run_round top): the seen
+        # DELTA of round er = round_no - k, minus urls re-claimed since,
+        # is retired this round and refreshed into the frontier at
+        # (priority 0, depth 0) unless already enqueued
+        retired_now: list[str] = []
+        if config.recrawl_after_rounds is not None:
+            er = round_no - config.recrawl_after_rounds
+            if er >= 0:
+                expired = sorted(
+                    u for u, h in claim_hist.items()
+                    if er in h and max(h) <= er
+                )
+                for u in expired:
+                    retire_last[u] = round_no
+                    frontier.setdefault(u, (0, 0))
+                retired_now = expired
         if not frontier:
             break
         # robots
@@ -321,9 +350,14 @@ def simulate_crawl(
                 deferred[url] = (prio, depth)
         scheduled.sort(key=lambda x: (x[0], x[1], x[3], x[2]))
 
-        new = [s for s in scheduled if s[2] not in seen]
-        seen.update(u for _, _, u, _ in new)
-        seen.update(blocked)
+        new = [s for s in scheduled if not is_seen(s[2])]
+        # claim delta of this round = newly claimed scheduled + blocked
+        # (crawl.py claim_input includes blocked with is_blocked=True)
+        for _, _, u, _ in new:
+            claim_hist[u].append(round_no)
+        for u in blocked:
+            if not is_seen(u):
+                claim_hist[u].append(round_no)
 
         # fetch + extract + flag + classify (reference semantics)
         results = []
@@ -379,7 +413,7 @@ def simulate_crawl(
         fresh = {
             u: pd_
             for u, pd_ in cand.items()
-            if u not in seen and u not in deferred
+            if not is_seen(u) and u not in deferred
         }
         rounds.append(
             {
@@ -387,8 +421,10 @@ def simulate_crawl(
                 "new": [u for _, _, u, _ in new],
                 "blocked": sorted(blocked),
                 "n_deferred": len(deferred),
+                "retired": retired_now,
             }
         )
         frontier = {**deferred, **fresh}
 
+    seen = {u for u in claim_hist if is_seen(u)}
     return {"rounds": rounds, "seen_set": seen, "results": all_results}

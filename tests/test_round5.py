@@ -1,0 +1,159 @@
+"""Round-5 additions: uncapped banded-dedup candidate-mass pins (VERDICT
+r4 item 6), the TTL-recrawl golden trace (item 8), and regression pins
+for the r5 fixes."""
+
+import json
+import os
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+TESTDATA = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@pytest.fixture(scope="module")
+def docs50k_dir(tmp_path_factory):
+    """50k-doc corpus (sf1-equivalent): 10 deterministic key-shifted
+    near-dup replicas of the driver-generated sf0.1 documents table —
+    the scripts/make_sf1.py recipe, documents only."""
+    d = str(tmp_path_factory.mktemp("docs50k"))
+    con = duckdb.connect()
+    stride = con.sql(
+        f"SELECT MAX(doc_id) + 1 FROM '{TESTDATA}/documents.parquet'"
+    ).fetchone()[0]
+    con.execute(f"""
+        COPY (
+          SELECT doc_id + g.k * {stride} AS doc_id,
+                 CASE WHEN g.k = 0 THEN text ELSE text || ' rep' || g.k END
+                   AS text,
+                 lang, source,
+                 CAST(length(CASE WHEN g.k = 0 THEN text
+                                  ELSE text || ' rep' || g.k END) AS BIGINT)
+                   AS n_chars
+          FROM '{TESTDATA}/documents.parquet',
+               generate_series(0, 9) AS g(k)
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    return d
+
+
+def test_uncapped_banded_candidate_mass_and_cc(spark, docs50k_dir):
+    """VERDICT r4 item 6: the primary near-dup path run UNCAPPED at 50k
+    docs (the conformance entries cap doc_id so the recursive-CTE oracle
+    stays tractable; the toy cap must not be the only tested shape).
+
+    Pins, at n = 50,000 (all-pairs mass 1.25e9):
+      - banded candidate mass (Σ C(bucket, 2) over 16-bit band buckets —
+        what the equi-join materializes) stays ≥ 50× below all-pairs;
+      - candidate mass tracks TRUE collision mass: ≤ 120× the verified
+        (hamming ≤ 3) pair count — this corpus is replica-built, so its
+        genuine near-dup mass is large, and candidates must scale with
+        THAT, not with n²;
+      - star-CC resolves the full uncapped pair set in ≤ 8 alternating
+        rounds (O(log² n) bound) labeling every doc exactly once.
+    """
+    from fraudcrawler_spark.conformance_graph import star_components
+    from fraudcrawler_spark.conformance_ml import (
+        q_dedup_simhash64,
+        simhash64_pairs_banded,
+    )
+
+    sh = q_dedup_simhash64(spark, docs50k_dir).localCheckpoint()
+    n = sh.count()
+    assert n == 50000
+
+    bands = F.array(*[
+        F.struct(F.lit(k).alias("band"), F.col(f"s{k}").alias("bkey"))
+        for k in range(4)
+    ])
+    mass = int(
+        sh.select(F.explode(bands).alias("bk"))
+        .groupBy("bk.band", "bk.bkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long"))
+        .collect()[0][0]
+    )
+    allpairs = n * (n - 1) // 2
+    assert mass * 50 <= allpairs, f"candidate mass {mass} ~ n²/{allpairs/mass:.0f}"
+
+    pairs = simhash64_pairs_banded(sh).select("a", "b").localCheckpoint()
+    verified = pairs.count()
+    assert verified > 0
+    assert mass <= 120 * verified, (
+        f"candidate mass {mass} is {mass/verified:.0f}× the true collision "
+        f"mass {verified} — banding is materializing junk candidates"
+    )
+
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    stats: dict = {}
+    clusters = star_components(sh.select("doc_id"), edges, stats=stats)
+    agg = clusters.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+    ).collect()[0]
+    assert agg["n"] == n, "every doc labeled exactly once"
+    assert 1 < agg["k"] < n
+    assert stats["rounds"] <= 8, f"star-CC took {stats['rounds']} rounds"
+
+
+GOLDEN_TTL = os.path.join(os.path.dirname(__file__), "golden",
+                          "trace_ttl_1200.json")
+
+
+def test_golden_trace_ttl_recrawl(spark, tmp_path_factory):
+    """VERDICT r4 item 8: multi-seed (4), multi-round (6) golden trace
+    with recrawl TTL enabled — the engine's per-round new-result
+    ORDERING, per-round RETIRE sets, and the final EFFECTIVE seen set
+    (last-claim ≥ last-retire semantics, crawl.py:135) must match the
+    recorded reference-semantics trace. Rounds 2+ re-fetch expired
+    round-0/1 claims, so the r4 same-round retire+re-claim fix is pinned
+    end-to-end, not just by its unit test."""
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.datagen import write_corpus
+    from fraudcrawler_spark.frontier.crawl import _effective_seen, run_crawl
+
+    with open(GOLDEN_TTL) as f:
+        golden = json.load(f)
+    corpus = str(tmp_path_factory.mktemp("ttl_corpus"))
+    write_corpus(corpus, golden["corpus_pages"])
+    cfg = CrawlConfig(**golden["config"])
+    root = str(tmp_path_factory.mktemp("ttl_state"))
+    state = run_crawl(spark, corpus, root, cfg,
+                      max_rounds=golden["max_rounds"])
+    last = state.read_manifest()["last_round"]
+    assert last == len(golden["rounds"]) - 1
+
+    retires_seen = 0
+    for rnd, g in enumerate(golden["rounds"]):
+        res = state.read("results", rnd).select(
+            "url", "priority", "crawl_depth", "host"
+        ).toPandas()
+        eng_order = [
+            r["url"]
+            for r in sorted(
+                res.to_dict("records"),
+                key=lambda r: (r["priority"], r["crawl_depth"],
+                               r["host"], r["url"]),
+            )
+        ]
+        assert eng_order == g["new"], f"round {rnd} new-result ordering"
+        if g["retired"]:
+            eng_ret = sorted(
+                r[0] for r in state.read("retired", rnd)
+                .select("url").collect()
+            )
+            assert eng_ret == sorted(g["retired"]), f"round {rnd} retires"
+            retires_seen += len(eng_ret)
+        else:
+            assert not state.exists("retired", rnd)
+    assert retires_seen > 0, "the trace must actually exercise recrawl"
+
+    eff = _effective_seen(state, last)
+    eng_seen = sorted(r[0] for r in eff.select("url").distinct().collect())
+    assert eng_seen == golden["effective_seen"]
