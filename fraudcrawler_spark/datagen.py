@@ -253,6 +253,57 @@ def generate_robots(n_hosts: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_robots_txt(n_hosts: int) -> pd.DataFrame:
+    """RAW robots.txt text per host — the bytes a real crawler fetches
+    before the politeness stage parses them. Renders EXACTLY the rules
+    of :func:`generate_robots` (the structured dim) for this engine's
+    user-agent, wrapped in the noise a correct RFC 9309 parser must
+    survive: comments, blank lines, mixed-case field names, decoy
+    groups for other agents, stacked user-agent lines, empty
+    (allow-all) Disallow lines, and Crawl-delay given in fractional
+    SECONDS. Hosts with i % 13 == 3 carry the real rules in a
+    ``User-agent: fraudcrawler``-specific group and DECOY rules in the
+    ``*`` group — the parser must prefer the named group.
+    """
+    rows = []
+    for i in range(n_hosts):
+        host = _host_of(i, n_hosts)
+        disallow = ["/private/"] if i % 7 == 0 else []
+        delay_s = (100 + (i % 5) * 50) / 1000.0
+        named = i % 13 == 3
+
+        def group(agents: list[str], prefixes: list[str],
+                  delay: float | None, mixed: bool) -> list[str]:
+            ua = "USER-AGENT" if mixed else "User-agent"
+            dis = "DisAllow" if mixed else "Disallow"
+            out = [f"{ua}: {a}" for a in agents]
+            if not prefixes:
+                out.append(f"{dis}:")  # empty = allow all
+            out += [f"{dis}: {p}" for p in prefixes]
+            if delay is not None:
+                out.append(f"Crawl-delay: {delay:g}")
+            return out
+
+        lines = [f"# robots for {host}", ""]
+        if i % 3 == 0:
+            # decoy group BEFORE the relevant one — must be ignored
+            lines += group(["BadBot"], ["/"], 9.9, mixed=False) + [""]
+        if named:
+            # the '*' group carries DECOYS; the named group is the truth
+            lines += group(["*"], ["/decoy/"], 8.8, mixed=False) + [""]
+            lines += group(
+                ["fraudcrawler", "otherbot"], disallow, delay_s,
+                mixed=i % 2 == 0,
+            )
+        else:
+            lines += group(["*"], disallow, delay_s, mixed=i % 4 == 1)
+        if i % 5 == 2:
+            lines += ["", "Sitemap: https://" + host + "/sitemap.xml",
+                      "# trailing comment"]
+        rows.append({"host": host, "robots_txt": "\n".join(lines) + "\n"})
+    return pd.DataFrame(rows)
+
+
 def generate_prompts() -> pd.DataFrame:
     """Classification prompt dim (reference base/base.py:107-114)."""
     return pd.DataFrame(
@@ -430,6 +481,7 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
         "hosts": generate_hosts(n_hosts),
         "excluded_hosts": generate_excluded_hosts(n_hosts),
         "robots": generate_robots(n_hosts),
+        "robots_txt": generate_robots_txt(n_hosts),
         "prompts": generate_prompts(),
         "images": generate_images(),
         "audio": generate_audio(),

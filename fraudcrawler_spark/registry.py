@@ -195,11 +195,12 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
 
     if n_pages not in _CORPUS_CACHE:
         d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
-        # raw_pages.parquet is the newest corpus artifact (late r4) — its
+        # robots_txt.parquet is the newest corpus artifact (r5) — its
         # absence means a stale cache dir that must be regenerated
         if not all(
             os.path.exists(os.path.join(d, f"{t}.parquet"))
-            for t in ("pages", "images", "audio", "videos", "raw_pages")
+            for t in ("pages", "images", "audio", "videos", "raw_pages",
+                      "robots_txt")
         ) or not os.path.isdir(os.path.join(d, "warc")):
             write_corpus(d, n_pages)
         _CORPUS_CACHE[n_pages] = d
@@ -985,6 +986,92 @@ REGISTRY["crawl_ingest_round"] = (q_crawl_ingest_round, SQL_CRAWL_INGEST_ROUND)
 
 
 # --------------------------------------------------------------------------
+# r5: robots.txt PARSER conformance entry. The politeness stage's
+# robots_from_txt kernel (frontier/politeness.py:40 — simplified RFC 9309
+# grouping, all JVM expressions) previously had unit tests but no DuckDB
+# oracle row. The corpus now carries raw robots_txt text per host
+# (datagen.generate_robots_txt): comments, decoy agent groups, mixed-case
+# fields, stacked user-agent lines, named-group-beats-star — and the
+# parse, for THIS engine's agent, must recover exactly the structured
+# robots dim the crawl consumes (pinned separately in test_round5).
+# --------------------------------------------------------------------------
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw robots.txt → structured politeness rules for agent
+    'fraudcrawler' (named groups preferred, '*' fallback), flattened for
+    the driver compare: sorted-joined disallow prefixes + delay ms."""
+    from fraudcrawler_spark.frontier.politeness import robots_from_txt
+
+    raw = spark.read.parquet(f"{_crawl_corpus()}/robots_txt.parquet")
+    dim = robots_from_txt(raw, user_agent="fraudcrawler")
+    return dim.select(
+        "host",
+        F.size("disallow_prefixes").cast("long").alias("n_disallow"),
+        F.array_join(F.array_sort("disallow_prefixes"), "|").alias("disallows"),
+        "crawl_delay_ms",
+    )
+
+
+SQL_ROBOTS_PARSE = rf"""
+WITH raw AS (
+  SELECT DISTINCT host, robots_txt, md5(robots_txt) AS doc
+  FROM read_parquet('{_D}/robots_txt.parquet')
+),
+lines0 AS (
+  SELECT host, doc, i - 1 AS pos,
+         trim(regexp_replace(ls[i], '#.*$', '')) AS line
+  FROM (SELECT host, doc, string_split_regex(robots_txt, '\r?\n') AS ls
+        FROM raw),
+       UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+lines AS (
+  SELECT host, doc, pos,
+    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
+    trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS val
+  FROM lines0 WHERE line <> ''
+),
+flags AS (
+  SELECT *, CASE WHEN key = 'user-agent' AND COALESCE(
+      LAG(key) OVER (PARTITION BY host, doc ORDER BY pos), '')
+      <> 'user-agent' THEN 1 ELSE 0 END AS ng
+  FROM lines
+),
+grp AS (
+  SELECT *, SUM(ng) OVER (PARTITION BY host, doc ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flags
+),
+per_group AS (
+  SELECT host, doc, g,
+    array_agg(DISTINCT lower(val)) FILTER (key = 'user-agent') AS agents,
+    array_agg(val) FILTER (key = 'disallow' AND val <> '') AS disallows,
+    MIN(CASE WHEN key = 'crawl-delay'
+             THEN CAST(CAST(val AS DOUBLE) * 1000 AS BIGINT) END) AS delay_ms
+  FROM grp GROUP BY host, doc, g
+),
+matched AS (
+  SELECT *,
+    COALESCE(list_contains(agents, 'fraudcrawler'), FALSE) AS m_named,
+    COALESCE(list_contains(agents, '*'), FALSE) AS m_star,
+    MAX(COALESCE(list_contains(agents, 'fraudcrawler'), FALSE)::INT)
+      OVER (PARTITION BY host) > 0 AS has_named
+  FROM per_group
+)
+SELECT host,
+  CAST(COALESCE(len(list_distinct(flatten(list(COALESCE(disallows, []))))),
+                0) AS BIGINT) AS n_disallow,
+  COALESCE(array_to_string(list_sort(list_distinct(
+      flatten(list(COALESCE(disallows, []))))), '|'), '') AS disallows,
+  MIN(delay_ms) AS crawl_delay_ms
+FROM matched
+WHERE (has_named AND m_named) OR (NOT has_named AND m_star)
+GROUP BY host
+"""
+
+REGISTRY["robots_parse"] = (q_robots_parse, SQL_ROBOTS_PARSE)
+
+
+# --------------------------------------------------------------------------
 # REAL image decode/resize (r3 verdict item 5): the corpus images table
 # holds genuine 24-bit BMP files whose pixels are arithmetically defined
 # (datagen.generate_images), so the pure-Python BMP codec's output is
@@ -1412,8 +1499,10 @@ _DRIVER_WINDOW: list[str] = [
     "crawl_multimodal",
     "crawl_frames",
     "streaming_ingest",
-    # --- new in r5: raw-bytes→clean-text→frontier composite ---
+    # --- new in r5: raw-bytes→clean-text→frontier composite + the
+    # robots.txt parser entry ---
     "crawl_ingest_round",
+    "robots_parse",
     # --- veterans whose last driver-green row is r3 (oldest cohort) —
     # rotated in for freshness; the r4-green cohort rests this round and
     # stays covered by the full pytest oracle replay ---
@@ -1457,7 +1546,6 @@ _DRIVER_WINDOW: list[str] = [
     "ann_lsh_multi",
     "ann_ivf",
     "corpus_prep",
-    "events_window_agg",
 ]
 
 # the driver correctness gate checks exactly the first 50 queries() —

@@ -157,3 +157,30 @@ def test_golden_trace_ttl_recrawl(spark, tmp_path_factory):
     eff = _effective_seen(state, last)
     eng_seen = sorted(r[0] for r in eff.select("url").distinct().collect())
     assert eng_seen == golden["effective_seen"]
+
+
+def test_robots_txt_parse_recovers_dim(spark):
+    """r5 robots realism pin: parsing the corpus's RAW robots.txt text
+    (comments, decoy agent groups, mixed case, named-group-beats-star,
+    fractional-second Crawl-delay) for this engine's user agent must
+    recover EXACTLY the structured robots dim the crawl consumes — so
+    the politeness stage is correct whether it is fed pre-parsed rules
+    or raw fetched bytes."""
+    from fraudcrawler_spark.frontier.politeness import robots_from_txt
+    from fraudcrawler_spark.registry import _crawl_corpus
+
+    corpus = _crawl_corpus()
+    raw = spark.read.parquet(f"{corpus}/robots_txt.parquet")
+    dim = spark.read.parquet(f"{corpus}/robots.parquet")
+    parsed = {
+        r["host"]: (sorted(r["disallow_prefixes"]), r["crawl_delay_ms"])
+        for r in robots_from_txt(raw, user_agent="fraudcrawler").collect()
+    }
+    want = {
+        r["host"]: (sorted(r["disallow_prefixes"]), r["crawl_delay_ms"])
+        for r in dim.collect()
+    }
+    assert parsed == want
+    # and the decoys did their job: at least one host carried a named
+    # group whose '*' group is a decoy (i % 13 == 3 hosts exist)
+    assert any("/decoy/" in r["robots_txt"] for r in raw.collect())
