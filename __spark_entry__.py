@@ -4,7 +4,9 @@ entry() runs the flagship composite pipeline query on sf0.001;
 queries()/oracle_sql() expose the operator conformance catalog
 (fraudcrawler_spark/registry.py) — one entry per implemented operator
 family from SURVEY.md §2 plus the training-data operators, each with a
-DuckDB ANSI-SQL twin (crawl-engine / pandas-UDF queries are rows-only).
+DuckDB ANSI-SQL twin. Since r5 EVERY entry is oracled (107/107): the
+former rows-only trio gained byte-stat / chunk-hash / shared-batch
+value oracles.
 """
 
 from __future__ import annotations

@@ -304,6 +304,48 @@ def generate_robots_txt(n_hosts: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_sitemaps(n_hosts: int, n_pages: int) -> pd.DataFrame:
+    """RAW sitemap.xml text per host — the other half of the discovery
+    surface a real crawler consumes next to robots.txt. Every 2nd host
+    publishes a sitemap listing its first few page urls (deterministic:
+    pages whose pid % n_hosts == host idx, capped at 5) plus one url the
+    crawl has NOT archived (`/fresh/…`) — so sitemap-driven discovery
+    genuinely adds frontier candidates. Entries carry lastmod dates and
+    priorities; whitespace/indentation varies by host parity and one
+    decoy comment block must be ignored."""
+    rows = []
+    for i in range(0, n_hosts, 2):
+        host = _host_of(i, n_hosts)
+        ents = []
+        pids = [p for p in range(i, min(n_pages, i + 5 * n_hosts), n_hosts)][:5]
+        for p in pids:
+            private = p % 33 == 0
+            path = f"/private/p{p:06d}" if private else f"/p{p:06d}"
+            lastmod = f"2024-{(p % 12) + 1:02d}-{(p % 28) + 1:02d}"
+            prio = ((p % 10) + 1) / 10.0
+            pad = "  " if i % 4 == 0 else "    "
+            ents.append(
+                f"{pad}<url>\n{pad}{pad}<loc>https://{host}{path}</loc>\n"
+                f"{pad}{pad}<lastmod>{lastmod}</lastmod>\n"
+                f"{pad}{pad}<priority>{prio:.1f}</priority>\n{pad}</url>"
+            )
+        # one never-archived url per sitemap host — real discovery signal
+        ents.append(
+            f"  <url>\n    <loc>https://{host}/fresh/f{i:04d}</loc>\n"
+            f"    <lastmod>2024-06-{(i % 28) + 1:02d}</lastmod>\n"
+            f"    <priority>0.9</priority>\n  </url>"
+        )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            "<!-- generated sitemap -->\n"
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "\n".join(ents)
+            + "\n</urlset>\n"
+        )
+        rows.append({"host": host, "sitemap_xml": xml})
+    return pd.DataFrame(rows)
+
+
 def generate_prompts() -> pd.DataFrame:
     """Classification prompt dim (reference base/base.py:107-114)."""
     return pd.DataFrame(
@@ -482,6 +524,7 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
         "excluded_hosts": generate_excluded_hosts(n_hosts),
         "robots": generate_robots(n_hosts),
         "robots_txt": generate_robots_txt(n_hosts),
+        "sitemaps": generate_sitemaps(n_hosts, n_pages),
         "prompts": generate_prompts(),
         "images": generate_images(),
         "audio": generate_audio(),

@@ -195,12 +195,12 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
 
     if n_pages not in _CORPUS_CACHE:
         d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
-        # robots_txt.parquet is the newest corpus artifact (r5) — its
+        # sitemaps.parquet is the newest corpus artifact (r5) — its
         # absence means a stale cache dir that must be regenerated
         if not all(
             os.path.exists(os.path.join(d, f"{t}.parquet"))
             for t in ("pages", "images", "audio", "videos", "raw_pages",
-                      "robots_txt")
+                      "robots_txt", "sitemaps")
         ) or not os.path.isdir(os.path.join(d, "warc")):
             write_corpus(d, n_pages)
         _CORPUS_CACHE[n_pages] = d
@@ -1072,6 +1072,119 @@ REGISTRY["robots_parse"] = (q_robots_parse, SQL_ROBOTS_PARSE)
 
 
 # --------------------------------------------------------------------------
+# r5: sitemap discovery — parse raw per-host sitemap.xml (sources/
+# sitemap.py, all-JVM regexp over the XML) and mark which listed urls the
+# crawl has NOT archived yet (the frontier candidates sitemaps exist to
+# volunteer). The anti-join side is the archived url set — at 10^10 urls
+# that is the SeenStore probe; here it is exact, keyed on url.
+# --------------------------------------------------------------------------
+
+def q_sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap entries with archive status: (host, loc, lastmod,
+    priority, archived) — `archived=false` rows are the urls sitemap
+    discovery adds to the next frontier."""
+    from fraudcrawler_spark.sources.sitemap import parse_sitemaps
+
+    corpus = _crawl_corpus()
+    raw = spark.read.parquet(f"{corpus}/sitemaps.parquet")
+    pages = spark.read.parquet(f"{corpus}/pages.parquet").select("url")
+    ents = parse_sitemaps(raw)
+    return (
+        ents.join(
+            pages.withColumn("archived", F.lit(True)),
+            ents["loc"] == pages["url"],
+            "left",
+        )
+        .select(
+            "host", "loc", "lastmod", "priority",
+            F.coalesce("archived", F.lit(False)).alias("archived"),
+        )
+    )
+
+
+SQL_SITEMAP_DISCOVER = rf"""
+WITH raw AS (SELECT host, sitemap_xml
+             FROM read_parquet('{_D}/sitemaps.parquet')),
+blocks AS (
+  SELECT host, unnest(regexp_extract_all(sitemap_xml,
+      '(?s)<url>(.*?)</url>', 1)) AS block
+  FROM raw
+),
+ents AS (
+  SELECT host,
+    trim(regexp_extract(block, '<loc>([^<]*)</loc>', 1)) AS loc,
+    NULLIF(trim(regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1)),
+           '') AS lastmod,
+    TRY_CAST(NULLIF(trim(regexp_extract(block,
+        '<priority>([^<]*)</priority>', 1)), '') AS DOUBLE) AS priority
+  FROM blocks
+)
+SELECT e.host, e.loc, e.lastmod, e.priority,
+  (p.url IS NOT NULL) AS archived
+FROM ents e
+LEFT JOIN read_parquet('{_D}/pages.parquet') p ON e.loc = p.url
+WHERE e.loc <> ''
+"""
+
+REGISTRY["sitemap_discover"] = (q_sitemap_discover, SQL_SITEMAP_DISCOVER)
+
+
+# --------------------------------------------------------------------------
+# r5: CDX index emission — the Common-Crawl-style capture index every
+# archive pipeline publishes next to its WARC files (SURT key, 14-digit
+# timestamp, original url, payload digest, length). Pure JVM expressions
+# over the parsed record table; the oracle regenerates every field
+# analytically from the pages table the archive was written from (same
+# trick as SQL_WARC_READ — the Spark side reads ONLY the bytes).
+# --------------------------------------------------------------------------
+
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(ish) index rows from the WARC archive bytes: SURT-sorted key
+    (reversed host labels + path), yyyymmddhhmmss timestamp, url,
+    status, sha256 payload digest, record payload length."""
+    import os
+
+    from fraudcrawler_spark.sources.warc import read_warc
+
+    recs = read_warc(spark, os.path.join(_crawl_corpus(), "warc")).where(
+        F.col("warc_type") == "response"
+    )
+    host = F.regexp_extract("target_uri", r"^https?://([^/]+)", 1)
+    path = F.regexp_replace("target_uri", r"^https?://[^/]+", "")
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        path,
+    )
+    ts = F.regexp_replace("warc_date", r"[^0-9]", "")
+    return recs.select(
+        surt.alias("surt_key"),
+        ts.alias("ts"),
+        F.col("target_uri").alias("original"),
+        "http_status",
+        F.col("payload_sha256").alias("digest"),
+        F.col("content_length").alias("length"),
+    )
+
+
+SQL_WARC_CDX = rf"""
+SELECT
+  array_to_string(list_reverse(string_split(
+      regexp_extract(url, '^https?://([^/]+)', 1), '.')), ',')
+    || ')' || regexp_replace(url, '^https?://[^/]+', '') AS surt_key,
+  strftime(warc_ts, '%Y%m%d%H%M%S') AS ts,
+  url AS original,
+  CAST(CASE WHEN url LIKE '%/private/%' THEN 403 ELSE 200 END
+       AS BIGINT) AS http_status,
+  sha256(decode(html)) AS digest,
+  CAST(octet_length(html) AS BIGINT) AS length
+FROM read_parquet('{_D}/pages.parquet')
+"""
+
+REGISTRY["warc_cdx"] = (q_warc_cdx, SQL_WARC_CDX)
+
+
+# --------------------------------------------------------------------------
 # REAL image decode/resize (r3 verdict item 5): the corpus images table
 # holds genuine 24-bit BMP files whose pixels are arithmetically defined
 # (datagen.generate_images), so the pure-Python BMP codec's output is
@@ -1503,6 +1616,8 @@ _DRIVER_WINDOW: list[str] = [
     # robots.txt parser entry ---
     "crawl_ingest_round",
     "robots_parse",
+    "sitemap_discover",
+    "warc_cdx",
     # --- veterans whose last driver-green row is r3 (oldest cohort) —
     # rotated in for freshness; the r4-green cohort rests this round and
     # stays covered by the full pytest oracle replay ---
@@ -1544,8 +1659,6 @@ _DRIVER_WINDOW: list[str] = [
     "multimodal_meta",
     "ann_lsh",
     "ann_lsh_multi",
-    "ann_ivf",
-    "corpus_prep",
 ]
 
 # the driver correctness gate checks exactly the first 50 queries() —
