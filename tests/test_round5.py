@@ -184,3 +184,48 @@ def test_robots_txt_parse_recovers_dim(spark):
     # and the decoys did their job: at least one host carried a named
     # group whose '*' group is a decoy (i % 13 == 3 hosts exist)
     assert any("/decoy/" in r["robots_txt"] for r in raw.collect())
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_r5_entry_plans(spark, sf_dir):
+    """Plan pins for the r5 entries (same discipline as test_plans.py):
+    the decoded html string never crosses an exchange in the ingest
+    composite, Python appears only as Arrow-batched kernels (never
+    BatchEvalPython), robots rides a broadcast, and the flat parse /
+    index entries are shuffle-light JVM plans."""
+    import re
+
+    from fraudcrawler_spark.registry import (
+        q_crawl_ingest_round,
+        q_robots_parse,
+        q_sitemap_discover,
+        q_warc_cdx,
+    )
+
+    p = _plan(spark, q_crawl_ingest_round(spark, sf_dir))
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" in p  # warc record parse + charset decode
+    assert "BroadcastHashJoin" in p  # robots dim
+    for block in re.split(r"\n\(\d+\) ", p):
+        if block.split("\n")[0].strip().endswith("Exchange"):
+            assert "html" not in block, block.split("\n")[0]
+
+    # formatted explain prints each node twice (tree line + "(n) Node"
+    # detail header) — count detail headers only
+    p = _plan(spark, q_robots_parse(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert len(re.findall(r"\)\s+Generate\b", p)) == 1  # one explode (lines)
+    assert "Window" in p  # the grouping lag/cumsum
+
+    p = _plan(spark, q_sitemap_discover(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert len(re.findall(r"\)\s+Generate\b", p)) == 1  # one explode (url blocks)
+
+    p = _plan(spark, q_warc_cdx(spark, sf_dir))
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p, "CDX emission is map-only over file tasks"
