@@ -513,6 +513,203 @@ def generate_raw_pages(n_docs: int = 600) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_redirects(n_pages: int, n_hosts: int | None = None) -> pd.DataFrame:
+    """HTTP redirect edges (src_url, location, status) — the 3xx graph a
+    crawler must resolve before frontier insertion. Deterministic shape:
+
+    * every 8th pid (pid % 8 == 5) roots a CHAIN of ``1 + pid % 5`` hops
+      ``/r{pid}h0 → /r{pid}h1 → … → /p{pid}`` ending at that pid's real
+      page url, status alternating 301/302 by pid parity;
+    * hops where ``(pid + j) % 4 == 0`` emit a RELATIVE location
+      (path-only) that must be resolved against the source's host;
+    * every 199th pid (pid % 199 == 7) adds a 3-node CYCLE
+      ``/loopA → /loopB → /loopC → /loopA`` — the pathological case the
+      resolver must bound instead of following forever.
+
+    The map is functional (one location per src), matching real crawl
+    frontiers where the latest observed redirect wins."""
+    n_hosts = n_hosts or max(8, n_pages // 50)
+    rows = []
+    for pid in range(n_pages):
+        host = _host_of(pid % n_hosts, n_hosts)
+        if pid % 8 == 5:
+            hops = 1 + pid % 5
+            final_private = pid % 33 == 0
+            final = (
+                f"https://{host}/private/p{pid:06d}"
+                if final_private
+                else f"https://{host}/p{pid:06d}"
+            )
+            for j in range(hops):
+                src = f"https://{host}/r{pid:06d}h{j}"
+                if j + 1 < hops:
+                    nxt_path = f"/r{pid:06d}h{j + 1}"
+                    nxt = f"https://{host}{nxt_path}"
+                else:
+                    nxt_path = final.split(host, 1)[1]
+                    nxt = final
+                loc = nxt_path if (pid + j) % 4 == 0 else nxt
+                rows.append(
+                    {
+                        "src_url": src,
+                        "location": loc,
+                        "status": 301 if pid % 2 == 0 else 302,
+                    }
+                )
+        if pid % 199 == 7:
+            for a, b in (("A", "B"), ("B", "C"), ("C", "A")):
+                rows.append(
+                    {
+                        "src_url": f"https://{host}/loop{pid:06d}{a}",
+                        "location": f"https://{host}/loop{pid:06d}{b}",
+                        "status": 302,
+                    }
+                )
+    return pd.DataFrame(rows)
+
+
+def generate_frontier_candidates(n_pages: int, n_hosts: int | None = None) -> pd.DataFrame:
+    """Discovered-but-unfetched candidate urls (url, src_host) — the raw
+    outlink stream trap detection runs over. Mix:
+
+    * one normal candidate per pid (that pid's page url) — dense enough
+      that the /pN template CLEARS the trap volume threshold on every
+      host and is exempted purely by its single variable segment;
+    * hosts ``i % 11 == 2``: a CALENDAR trap — 60 urls
+      ``/cal/{yyyy}/{mm}/{dd}`` (infinite-date spider trap);
+    * hosts ``i % 13 == 4``: a SESSION-ID trap — 50 urls
+      ``/item?sid={hex}&p={n}`` (per-visit token explosion);
+    * hosts ``i % 17 == 6``: a FACETED trap — 40 urls
+      ``/list?page={n}&sort={asc|desc}`` (pagination × sort product).
+
+    Deterministic; trap hosts and sizes are arithmetic in (i, j)."""
+    n_hosts = n_hosts or max(8, n_pages // 50)
+    rows = []
+    for pid in range(n_pages):
+        host = _host_of(pid % n_hosts, n_hosts)
+        private = pid % 33 == 0
+        path = f"/private/p{pid:06d}" if private else f"/p{pid:06d}"
+        rows.append({"url": f"https://{host}{path}", "src_host": host})
+    for i in range(n_hosts):
+        host = _host_of(i, n_hosts)
+        if i % 11 == 2:
+            for j in range(60):
+                y, m, d = 2000 + j % 30, 1 + j % 12, 1 + j % 28
+                rows.append(
+                    {
+                        "url": f"https://{host}/cal/{y}/{m:02d}/{d:02d}",
+                        "src_host": host,
+                    }
+                )
+        if i % 13 == 4:
+            for j in range(50):
+                sid = f"{(j * 2654435761 + i) % (1 << 32):08x}"
+                rows.append(
+                    {
+                        "url": f"https://{host}/item?sid={sid}&p={j % 7}",
+                        "src_host": host,
+                    }
+                )
+        if i % 17 == 6:
+            for j in range(40):
+                rows.append(
+                    {
+                        "url": (
+                            f"https://{host}/list?page={j}"
+                            f"&sort={'asc' if j % 2 == 0 else 'desc'}"
+                        ),
+                        "src_host": host,
+                    }
+                )
+    return pd.DataFrame(rows)
+
+
+def generate_media_headers(n_items: int = 90) -> pd.DataFrame:
+    """Binary payloads with a server-DECLARED content type that lies for
+    every 6th item (k % 6 == 3) — the magic-byte sniffing fixture. Payload
+    cycle (k % 5): real BMP / real WAV / real AVI / html text / plain
+    text, built by the same arithmetic encoders as the images/audio/
+    videos tables so the bytes are genuine container files. ``true_type``
+    is ground-truth metadata the Spark kernel never reads."""
+    from fraudcrawler_spark.functions.avi import avi_encode
+    from fraudcrawler_spark.functions.bmp import bmp_encode
+    from fraudcrawler_spark.functions.wav import wav_encode
+
+    types = [
+        "image/bmp",
+        "audio/x-wav",
+        "video/x-msvideo",
+        "text/html",
+        "text/plain",
+    ]
+    rows = []
+    for k in range(n_items):
+        kind = k % 5
+        if kind == 0:
+            w, h = 4 + k % 5, 3 + k % 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(7 * xx + 13 * yy + k) % 256] * 3, axis=-1)
+            payload = bmp_encode(px.astype(np.uint8))
+        elif kind == 1:
+            i = np.arange(64)
+            payload = wav_encode(
+                (((31 * i + 17 * k) * 73) % 4001 - 2000).astype(np.int16),
+                8000,
+            )
+        elif kind == 2:
+            yy, xx = np.mgrid[0:6, 0:8]
+            frames = [
+                np.stack([(7 * xx + 13 * yy + 5 * t + k) % 256] * 3, axis=-1)
+                .astype(np.uint8)
+                for t in range(2)
+            ]
+            payload = avi_encode(frames, 10)
+        elif kind == 3:
+            payload = (
+                f"<!DOCTYPE html><html><body>item {k}</body></html>"
+            ).encode("utf-8")
+        else:
+            payload = f"plain text item {k}\n".encode("utf-8")
+        declared = types[(kind + 1) % 5] if k % 6 == 3 else types[kind]
+        rows.append(
+            {
+                "media_id": k,
+                "declared_type": declared,
+                "true_type": types[kind],
+                "payload": payload,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def generate_fetch_log(n_hosts: int) -> pd.DataFrame:
+    """Per-fetch latency/status observations (host, url, status,
+    latency_ms) the adaptive-politeness op aggregates. Host ``i`` gets
+    ``20 + i % 30`` observations with base latency ``60 + (i % 7) * 120``
+    ms plus deterministic jitter ``(j*37 + i*11) % 200``; hosts
+    ``i % 5 == 1`` throw a 503 every 19th fetch (the backoff trigger) and
+    every 29th fetch 404s."""
+    rows = []
+    for i in range(n_hosts):
+        host = _host_of(i, n_hosts)
+        base = 60 + (i % 7) * 120
+        for j in range(20 + i % 30):
+            status = 200
+            if i % 5 == 1 and j % 19 == 18:
+                status = 503
+            elif j % 29 == 28:
+                status = 404
+            rows.append(
+                {
+                    "host": host,
+                    "url": f"https://{host}/p{(i * 131 + j) % 997:06d}",
+                    "status": status,
+                    "latency_ms": base + (j * 37 + i * 11) % 200,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) -> dict:
     """Write the full corpus as parquet files under out_dir; returns paths."""
     os.makedirs(out_dir, exist_ok=True)
@@ -530,6 +727,10 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
         "audio": generate_audio(),
         "videos": generate_videos(),
         "raw_pages": generate_raw_pages(),
+        "redirects": generate_redirects(n_pages, n_hosts),
+        "frontier_candidates": generate_frontier_candidates(n_pages, n_hosts),
+        "media_headers": generate_media_headers(),
+        "fetch_log": generate_fetch_log(n_hosts),
     }
     paths = {}
     for name, df in tables.items():

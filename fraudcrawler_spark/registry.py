@@ -195,12 +195,13 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
 
     if n_pages not in _CORPUS_CACHE:
         d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
-        # sitemaps.parquet is the newest corpus artifact (r5) — its
+        # fetch_log.parquet is the newest corpus artifact (late r5) — its
         # absence means a stale cache dir that must be regenerated
         if not all(
             os.path.exists(os.path.join(d, f"{t}.parquet"))
             for t in ("pages", "images", "audio", "videos", "raw_pages",
-                      "robots_txt", "sitemaps")
+                      "robots_txt", "sitemaps", "redirects",
+                      "frontier_candidates", "media_headers", "fetch_log")
         ) or not os.path.isdir(os.path.join(d, "warc")):
             write_corpus(d, n_pages)
         _CORPUS_CACHE[n_pages] = d
@@ -1185,6 +1186,23 @@ REGISTRY["warc_cdx"] = (q_warc_cdx, SQL_WARC_CDX)
 
 
 # --------------------------------------------------------------------------
+# r5 crawl-network operators (conformance_net.py): redirect-chain
+# resolution by pointer doubling, URL-template trap detection, magic-byte
+# MIME sniffing, and latency-adaptive politeness
+# --------------------------------------------------------------------------
+from fraudcrawler_spark import conformance_net as cn  # noqa: E402
+
+REGISTRY["redirect_resolve"] = (
+    cn.q_redirect_resolve, cn._sql_redirect_resolve()
+)
+REGISTRY["trap_detect"] = (cn.q_trap_detect, cn._sql_trap_detect())
+REGISTRY["mime_sniff"] = (cn.q_mime_sniff, cn._sql_mime_sniff())
+REGISTRY["host_latency_adapt"] = (
+    cn.q_host_latency_adapt, cn._sql_host_latency_adapt(SQL_ROBOTS_PARSE)
+)
+
+
+# --------------------------------------------------------------------------
 # REAL image decode/resize (r3 verdict item 5): the corpus images table
 # holds genuine 24-bit BMP files whose pixels are arithmetically defined
 # (datagen.generate_images), so the pure-Python BMP codec's output is
@@ -1618,6 +1636,12 @@ _DRIVER_WINDOW: list[str] = [
     "robots_parse",
     "sitemap_discover",
     "warc_cdx",
+    # --- late r5: crawl-network operators (conformance_net.py), never
+    # driver-checked — priority over green veterans ---
+    "redirect_resolve",
+    "trap_detect",
+    "mime_sniff",
+    "host_latency_adapt",
     # --- veterans whose last driver-green row is r3 (oldest cohort) —
     # rotated in for freshness; the r4-green cohort rests this round and
     # stays covered by the full pytest oracle replay ---
@@ -1655,10 +1679,9 @@ _DRIVER_WINDOW: list[str] = [
     "text_quality",
     "text_langid",
     "langid_eval",
-    "lsh_eval",
-    "multimodal_meta",
-    "ann_lsh",
-    "ann_lsh_multi",
+    # (multimodal_meta / ann_lsh / ann_lsh_multi / lsh_eval rotated out
+    # for the four late-r5 entries — driver-green r1-3 and replayed by
+    # the full pytest oracle suite every round)
 ]
 
 # the driver correctness gate checks exactly the first 50 queries() —

@@ -229,3 +229,139 @@ def test_r5_entry_plans(spark, sf_dir):
     p = _plan(spark, q_warc_cdx(spark, sf_dir))
     assert "BatchEvalPython" not in p
     assert "Exchange" not in p, "CDX emission is map-only over file tasks"
+
+
+# --------------------------------------------------------------------------
+# late-r5 crawl-network operators (conformance_net.py): semantics the
+# DuckDB value compare can't see — cycle bounding, trap/no-trap class
+# boundaries, lying-header detection, backoff triggers — plus plan pins
+# --------------------------------------------------------------------------
+
+
+def test_redirect_resolve_semantics(spark, sf_dir):
+    """Pointer doubling resolves chains to the exact landing url with
+    exact hop counts, bounds cycles at MAX_HOPS ('too_many_redirects',
+    NULL final), and absolutizes host-relative Location headers."""
+    from fraudcrawler_spark.conformance_net import q_redirect_resolve
+    from fraudcrawler_spark.registry import _crawl_corpus
+
+    rows = {r["src_url"]: r for r in q_redirect_resolve(spark, sf_dir).collect()}
+    red = spark.read.parquet(f"{_crawl_corpus()}/redirects.parquet")
+    n_src = red.count()
+    assert len(rows) == n_src
+
+    cyc = [r for r in rows.values() if "/loop" in r["src_url"]]
+    assert cyc and all(
+        r["status"] == "too_many_redirects"
+        and r["final_url"] is None
+        and r["n_hops"] is None
+        for r in cyc
+    )
+
+    chains = [r for r in rows.values() if "/loop" not in r["src_url"]]
+    assert chains and all(r["status"] == "ok" for r in chains)
+    # chain roots (…h0) of pid % 8 == 5 land on that pid's page url in
+    # exactly (1 + pid % 5) hops — even through relative-location hops
+    import re
+
+    for r in chains:
+        m = re.match(r"https://([^/]+)/r(\d{6})h(\d+)$", r["src_url"])
+        pid, j = int(m.group(2)), int(m.group(3))
+        total = 1 + pid % 5
+        assert r["n_hops"] == total - j
+        assert r["final_url"].endswith(f"p{pid:06d}")
+        assert r["final_url"].startswith("https://")  # absolutized
+
+
+def test_trap_detect_semantics(spark, sf_dir):
+    """Calendar / session-id / faceted templates are flagged; the real
+    article space (/pN — huge n_urls but ONE variable segment) is not."""
+    from fraudcrawler_spark.conformance_net import q_trap_detect
+
+    rows = q_trap_detect(spark, sf_dir).collect()
+    by_tpl = {}
+    for r in rows:
+        by_tpl.setdefault(r["template"], []).append(r)
+
+    assert all(r["is_trap"] for r in by_tpl["/cal/N/N/N"])
+    assert all(r["is_trap"] for r in by_tpl["/item?sid=V&p=V"])
+    assert all(r["is_trap"] for r in by_tpl["/list?page=V&sort=V"])
+    assert all(not r["is_trap"] for r in by_tpl["/pN"])
+    assert any(r["n_urls"] >= 25 for r in by_tpl["/pN"]), (
+        "the no-trap pin must hold on a template that CLEARED the volume "
+        "threshold (single-variable exemption, not low volume)"
+    )
+
+
+def test_mime_sniff_semantics(spark, sf_dir):
+    """Sniffing recovers the ground-truth type from bytes alone for every
+    row; mismatch flags exactly the k % 6 == 3 lying-header items."""
+    from fraudcrawler_spark.conformance_net import q_mime_sniff
+    from fraudcrawler_spark.registry import _crawl_corpus
+
+    out = {r["media_id"]: r for r in q_mime_sniff(spark, sf_dir).collect()}
+    truth = {
+        r["media_id"]: r["true_type"]
+        for r in spark.read.parquet(
+            f"{_crawl_corpus()}/media_headers.parquet"
+        ).collect()
+    }
+    assert len(out) == len(truth) == 90
+    for k, r in out.items():
+        assert r["sniffed_type"] == truth[k], k
+        assert r["mismatch"] == (k % 6 == 3), k
+
+
+def test_host_latency_adapt_semantics(spark, sf_dir):
+    """Backoff fires exactly on the 503-prone hosts that actually saw a
+    503; rec_delay_ms ≥ both the adaptive floor and the robots delay."""
+    from fraudcrawler_spark.conformance_net import q_host_latency_adapt
+
+    rows = q_host_latency_adapt(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        i = int(r["host"].split(".")[0].removeprefix("shop"))
+        expect_503 = i % 5 == 1 and (20 + i % 30) > 18  # j=18 observed
+        assert r["backoff"] == (expect_503 and r["err5xx_rate"] > 0.05)
+        assert r["rec_delay_ms"] >= 100
+        assert r["rec_delay_ms"] >= r["p95_ms"] * 4 - 1e-6 or (
+            r["rec_delay_ms"] == 10000
+        )
+
+
+def test_net_entry_plans(spark, sf_dir):
+    """Plan discipline for the crawl-network entries: all-JVM (no Python
+    anywhere), mime_sniff map-only (zero exchanges), redirect_resolve
+    exactly 1 + doubling-round joins, latency adapt broadcasts robots."""
+    import re
+
+    from fraudcrawler_spark.conformance_net import (
+        MAX_HOPS,
+        q_host_latency_adapt,
+        q_mime_sniff,
+        q_redirect_resolve,
+        q_trap_detect,
+    )
+
+    for fn in (q_redirect_resolve, q_trap_detect, q_mime_sniff,
+               q_host_latency_adapt):
+        p = _plan(spark, fn(spark, sf_dir))
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, fn
+        assert "ArrowEvalPython" not in p, fn
+
+    p = _plan(spark, q_mime_sniff(spark, sf_dir))
+    assert "Exchange" not in p, "mime_sniff must stay map-only"
+
+    # per-round lineage breaks (localCheckpoint) mean the FINAL plan holds
+    # only the last doubling round's single join — the iterative self-join
+    # must never accumulate 2^rounds - 1 joins in one DAG
+    p = _plan(spark, q_redirect_resolve(spark, sf_dir))
+    n_joins = len(re.findall(r"\)\s+\w*(?:SortMergeJoin|HashJoin)", p))
+    assert n_joins <= 1, (
+        f"redirect_resolve's returned plan must be checkpoint-truncated "
+        f"(≤1 join), got {n_joins} — lineage is accumulating"
+    )
+    assert MAX_HOPS == 16  # the doubling-round count pin below depends on it
+
+    p = _plan(spark, q_host_latency_adapt(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # robots dim rides a broadcast
