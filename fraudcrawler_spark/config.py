@@ -102,5 +102,19 @@ class CrawlConfig:
     # conformance_graph.q_pagerank_priority). Keep the mode fixed across
     # resume: it parameterizes frontier ORDER, like host_budget.
     priority_mode: str = "depth"
+    # candidate-stage 3xx resolution (conformance_net.resolve_redirect_map
+    # over the corpus redirects table, computed once per crawl): candidate
+    # urls that are redirect sources are rewritten to their final landing
+    # url before dedup/enqueue; loops/over-long chains drop with lineage
+    # stage 'redirect_loop'. Off by default — golden traces predate it.
+    resolve_redirects: bool = False
+    # adaptive crawler-trap suppression: mine (host, template) volume from
+    # THIS round's candidate stream (template = query values→V, digit
+    # runs→N) and drop candidates whose template exploded — ≥ trap_min_urls
+    # distinct urls across ≥ trap_min_var variable segments (single-
+    # variable article spaces are exempt). Lineage stage 'trap'.
+    trap_gate: bool = False
+    trap_min_urls: int = 25
+    trap_min_var: int = 2
     salt_shards: int = HOST_SALT_SHARDS
     prompts: tuple[Prompt, ...] = field(default_factory=tuple)

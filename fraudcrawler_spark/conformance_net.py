@@ -44,7 +44,7 @@ def _absolutize(loc, src):
     ).otherwise(loc)
 
 
-def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def resolve_redirect_map(red: DataFrame) -> DataFrame:
     """Resolve every redirect source to its final landing url via
     POINTER DOUBLING: each round composes the partial-resolution map
     with itself (cur → f(cur)), so a chain of length h settles in
@@ -53,13 +53,11 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     join partitioned by url; the naive per-hop walk would be 16
     sequential shuffles of the full frontier.
 
-    Output: (src_url, final_url, n_hops, status) with
-    status 'ok' (landed on a non-redirect within MAX_HOPS) or
-    'too_many_redirects' (cycle or over-long chain; final_url/n_hops
-    NULL — mid-cycle position is not meaningful)."""
-    import os
-
-    red = spark.read.parquet(os.path.join(_corpus(), "redirects.parquet"))
+    Input: (src_url, location, …). Output: (src_url, final_url, n_hops,
+    status) with status 'ok' (landed on a non-redirect within MAX_HOPS)
+    or 'too_many_redirects' (cycle or over-long chain; final_url/n_hops
+    NULL — mid-cycle position is not meaningful). Also the engine's
+    frontier preprocessor (frontier/crawl.py candidate stage)."""
     edges = red.select(
         F.col("src_url").alias("src"),
         _absolutize(F.col("location"), F.col("src_url")).alias("cur"),
@@ -106,6 +104,25 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("cur")).alias("final_url"),
         F.when(ok, F.col("hops")).alias("n_hops"),
         F.when(ok, F.lit("ok")).otherwise(F.lit("too_many_redirects")).alias("status"),
+    )
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: resolve_redirect_map over the corpus redirects
+    table (see that function for semantics and the scale argument)."""
+    import os
+
+    red = spark.read.parquet(os.path.join(_corpus(), "redirects.parquet"))
+    return resolve_redirect_map(red)
+
+
+def url_template_expr(url):
+    """Collapse a url to its trap-mining template: strip scheme+host,
+    query values → 'V', digit runs → 'N'. Shared by q_trap_detect and
+    the engine's candidate gate so the two can never drift."""
+    pathq = F.regexp_replace(url, r"^https?://[^/]+", "")
+    return F.regexp_replace(
+        F.regexp_replace(pathq, r"=[^&]*", "=V"), r"[0-9]+", "N"
     )
 
 
@@ -159,9 +176,7 @@ def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = spark.read.parquet(
         os.path.join(_corpus(), "frontier_candidates.parquet")
     )
-    pathq = F.regexp_replace("url", r"^https?://[^/]+", "")
-    t1 = F.regexp_replace(pathq, r"=[^&]*", "=V")
-    template = F.regexp_replace(t1, r"[0-9]+", "N")
+    template = url_template_expr(F.col("url"))
     d = cand.select(F.col("src_host").alias("host"), template.alias("template"), "url")
     agg = d.groupBy("host", "template").agg(
         F.countDistinct("url").alias("n_urls")

@@ -322,7 +322,40 @@ def run_round(
             (F.col("crawl_depth") + 1).alias("crawl_depth"),
         )
         .where(F.col("crawl_depth") <= F.lit(config.max_depth))
-        .withColumn("host", canonical_host_expr(F.col("url")))
+    )
+    # --- opt-in 3xx resolution (config.resolve_redirects): candidate urls
+    # that are redirect sources are rewritten to their final landing url
+    # BEFORE host derivation / gating / dedup (a crawler that enqueues the
+    # 301 source re-discovers the same content under two names); loops /
+    # over-long chains are dead urls — dropped with lineage 'redirect_loop'.
+    # The pointer-doubled map is built once per crawl (run_crawl) and is
+    # url-keyed, so this is one hash join per round.
+    redirect_map = tables.get("_redirect_map")
+    if redirect_map is not None:
+        rm = redirect_map.select(
+            F.col("src_url").alias("_r_src"),
+            F.col("final_url").alias("_r_final"),
+            F.col("status").alias("_r_status"),
+        )
+        raw_expanded = (
+            raw_expanded.join(rm, raw_expanded["url"] == rm["_r_src"], "left")
+            .withColumn(
+                "url",
+                F.when(F.col("_r_status") == "ok", F.col("_r_final")).otherwise(
+                    F.col("url")
+                ),
+            )
+            .withColumn("_redir_loop",
+                        F.col("_r_status") == "too_many_redirects")
+            .withColumn("_redirected", F.col("_r_status") == "ok")
+            .drop("_r_src", "_r_final", "_r_status")
+        )
+    else:
+        raw_expanded = raw_expanded.withColumn(
+            "_redir_loop", F.lit(False)
+        ).withColumn("_redirected", F.lit(False))
+    raw_expanded = raw_expanded.withColumn(
+        "host", canonical_host_expr(F.col("url"))
     )
     keep = F.lower(F.col("url")).contains(f".{cc}") | F.lower(F.col("url")).contains(".com")
     excl = tables.get("excluded_hosts")
@@ -337,13 +370,52 @@ def run_round(
     # domains hard-drop (reference J2, serp.py:244-246)
     raw_expanded = raw_expanded.withColumn(
         "link_status",
-        F.when(~keep, F.lit("country"))
+        F.when(F.col("_redir_loop"), F.lit("redirect_loop"))
+        .when(~keep, F.lit("country"))
         .when(F.col("_excl"), F.lit("excluded"))
         .otherwise(F.lit("ok")),
-    ).drop("_excl").localCheckpoint()
+    ).drop("_excl", "_redir_loop").localCheckpoint()
     country_flagged = raw_expanded.where(F.col("link_status") == "country")
     dropped = raw_expanded.where(F.col("link_status") == "excluded")
+    loop_dropped = raw_expanded.where(F.col("link_status") == "redirect_loop")
     expanded = raw_expanded.where(F.col("link_status") == "ok")
+
+    # --- opt-in adaptive trap suppression (config.trap_gate): mine this
+    # round's candidate stream for exploding (host, template) cells and
+    # drop their members before dedup/enqueue. One extra aggregation over
+    # data already checkpointed; the trap dim joins back on the same
+    # (host, template) key. Single-variable templates are exempt, so a
+    # host's real article space never trips it (conformance_net semantics,
+    # shared via url_template_expr).
+    n_trap_dropped = 0
+    trap_dropped = None
+    if config.trap_gate:
+        from fraudcrawler_spark.conformance_net import url_template_expr
+
+        expanded = expanded.withColumn(
+            "_template", url_template_expr(F.col("url"))
+        )
+        n_var = F.length("_template") - F.length(
+            F.regexp_replace("_template", r"[NV]", "")
+        )
+        traps = (
+            expanded.groupBy("host", "_template")
+            .agg(F.countDistinct("url").alias("_n_urls"))
+            .where(
+                (F.col("_n_urls") >= config.trap_min_urls)
+                & (n_var >= config.trap_min_var)
+            )
+            .select("host", "_template", F.lit(True).alias("_trap"))
+        )
+        expanded = expanded.join(
+            traps, ["host", "_template"], "left"
+        ).localCheckpoint()
+        trap_dropped = expanded.where(F.col("_trap"))
+        n_trap_dropped = trap_dropped.count()
+        expanded = expanded.where(F.col("_trap").isNull()).drop(
+            "_template", "_trap"
+        )
+        trap_dropped = trap_dropped.drop("_template", "_trap")
 
     candidates = expanded.groupBy("url").agg(
         F.first("host").alias("host"),
@@ -383,9 +455,12 @@ def run_round(
         .unionByName(_lineage(dup, STAGE_DEDUP_PREVIOUS))
         .unionByName(_lineage(country_flagged, STAGE_COUNTRY, "src_url"))
         .unionByName(_lineage(dropped, STAGE_EXCLUDED, "src_url"))
+        .unionByName(_lineage(loop_dropped, "redirect_loop", "src_url"))
         .unionByName(_lineage(fresh, "enqueued", "src_url"))
-        .withColumn("round", F.lit(round_no))
     )
+    if trap_dropped is not None:
+        lineage = lineage.unionByName(_lineage(trap_dropped, "trap", "src_url"))
+    lineage = lineage.withColumn("round", F.lit(round_no))
     host_metrics = (
         scheduled.groupBy("host")
         .agg(F.count("*").alias("n_scheduled"))
@@ -405,6 +480,16 @@ def run_round(
                 "n_dup": n_scheduled - n_new,
                 "n_results": n_new,  # one result row per newly-claimed url
                 "n_enqueued": n_enqueued,
+                # cheap: raw_expanded is localCheckpointed; both slices are
+                # metadata-only scans of the materialized partition. Zero
+                # when the corresponding config flag is off.
+                "n_redirected": int(
+                    raw_expanded.where(F.col("_redirected")).count()
+                ) if redirect_map is not None else 0,
+                "n_redirect_loops": int(
+                    loop_dropped.count()
+                ) if redirect_map is not None else 0,
+                "n_trap_dropped": int(n_trap_dropped),
                 "elapsed_sec": elapsed,
                 "urls_per_sec": (n_scheduled + n_new) / elapsed if elapsed > 0 else 0.0,
                 "seen_fill_ratio": float(fill or 0.0),
@@ -445,6 +530,19 @@ def run_crawl(
     manifest = state.read_manifest()
 
     tables = read_corpus(spark, corpus_dir)
+    if config.resolve_redirects:
+        if "redirects" not in tables:
+            raise ValueError(
+                "resolve_redirects=True but the corpus has no "
+                "redirects.parquet"
+            )
+        from fraudcrawler_spark.conformance_net import resolve_redirect_map
+
+        # pointer-doubled once per crawl (log2(MAX_HOPS) self-joins),
+        # materialized, then reused by every round's candidate join
+        tables["_redirect_map"] = resolve_redirect_map(
+            tables["redirects"]
+        ).localCheckpoint()
     start = manifest["last_round"] + 1
     store = _load_seen(spark, state, manifest["last_round"], config)
     # fail fast, not at round k: retire() requires the deletion-capable

@@ -365,3 +365,102 @@ def test_net_entry_plans(spark, sf_dir):
 
     p = _plan(spark, q_host_latency_adapt(spark, sf_dir))
     assert "BroadcastHashJoin" in p  # robots dim rides a broadcast
+
+
+def _spliced_corpus(tmp_path_factory):
+    """write_corpus(300) with every page's html also carrying: a 30-url
+    calendar trap on one host, one redirect-chain root, and one
+    redirect-loop entry — so the engine's candidate stream genuinely
+    contains what the opt-in gates must handle."""
+    import pandas as pd
+
+    from fraudcrawler_spark.datagen import write_corpus
+
+    d = str(tmp_path_factory.mktemp("gate_corpus"))
+    # n_hosts=11 (coprime to the pid%8 chain stride) so chain roots span
+    # hosts — at the default 8, EVERY chain root lands on shop5, which is
+    # the excluded-hosts dim entry and would never enqueue in any mode.
+    # 700 pages so at least one redirect CYCLE (pid 604 → shop10.ch)
+    # lands on a host that clears the country gate.
+    write_corpus(d, 700, n_hosts=11)
+    red = pd.read_parquet(f"{d}/redirects.parquet")
+    roots = red[red.src_url.str.contains("h0")
+                & ~red.src_url.str.contains("//shop5.")
+                & red.src_url.str.contains(r"\.(?:ch|com)/", regex=True)]
+    chain_root = roots.iloc[0]["src_url"]
+    loops = red[red.src_url.str.contains("loop")
+                & ~red.src_url.str.contains("//shop5.")
+                & red.src_url.str.contains(r"\.(?:ch|com)/", regex=True)]
+    loop_url = loops.iloc[0]["src_url"]
+    trap_links = "".join(
+        f'<a href="https://trapzone.ch/cal/2024/{1 + j % 12:02d}/'
+        f'{1 + j % 28:02d}">c{j}</a>'
+        for j in range(30)
+    )
+    inject = (
+        f'<a href="{chain_root}">r</a><a href="{loop_url}">l</a>'
+        f"{trap_links}"
+    ).encode()
+    pages = pd.read_parquet(f"{d}/pages.parquet")
+    pages["html"] = pages["html"].map(lambda h: bytes(h) + inject)
+    pages.to_parquet(f"{d}/pages.parquet", index=False,
+                     coerce_timestamps="us",
+                     allow_truncated_timestamps=True, row_group_size=4096)
+    return d, chain_root, loop_url
+
+
+def test_engine_redirect_and_trap_gates(spark, tmp_path_factory):
+    """Opt-in engine integration of the r5 network operators: with
+    resolve_redirects + trap_gate on, redirect sources are rewritten to
+    their landing url before enqueue, loops drop with lineage
+    'redirect_loop', and the exploding calendar template never enters
+    the frontier; with the flags off (default) all of them enqueue —
+    and the golden-trace path is untouched."""
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.frontier.crawl import run_crawl
+
+    d, chain_root, loop_url = _spliced_corpus(tmp_path_factory)
+
+    def crawl(flags: bool):
+        root = str(tmp_path_factory.mktemp(f"gate_state_{flags}"))
+        cfg = CrawlConfig(host_budget=8, max_depth=2,
+                          resolve_redirects=flags, trap_gate=flags)
+        state = run_crawl(spark, d, root, cfg, max_rounds=3)
+        last = state.read_manifest()["last_round"]
+        lin = None
+        for r in range(last + 1):
+            if state.exists("lineage", r):
+                part = state.read("lineage", r)
+                lin = part if lin is None else lin.unionByName(part)
+        met = None
+        for r in range(last + 1):
+            if state.exists("metrics", r):
+                part = state.read("metrics", r)
+                met = part if met is None else met.unionByName(part)
+        return lin.toPandas(), met.toPandas()
+
+    lin_on, met_on = crawl(True)
+    enq_on = set(lin_on[lin_on.stage == "enqueued"].url)
+    assert not any("/cal/" in u for u in enq_on), "trap urls enqueued"
+    assert chain_root not in enq_on, "redirect source enqueued unrewritten"
+    assert loop_url not in enq_on
+    assert set(lin_on[lin_on.stage == "redirect_loop"].url) == {loop_url}
+    assert (lin_on.stage == "trap").sum() >= 30
+    assert met_on.n_redirected.sum() >= 1
+    assert met_on.n_redirect_loops.sum() >= 1
+    assert met_on.n_trap_dropped.sum() >= 30
+    # the chain's landing page url reached the candidate stage under its
+    # FINAL name (enqueued or deduped against the seen set — not lost)
+    final_target = chain_root.rsplit("/r", 1)[0] + "/p" + \
+        chain_root.rsplit("/r", 1)[1].split("h")[0]
+
+    lin_off, met_off = crawl(False)
+    enq_off = set(lin_off[lin_off.stage == "enqueued"].url)
+    assert any("/cal/" in u for u in enq_off), (
+        "control: trap urls must enqueue when the gate is off"
+    )
+    assert chain_root in enq_off and loop_url in enq_off
+    assert "n_trap_dropped" in met_off.columns
+    assert met_off.n_trap_dropped.sum() == 0
+    assert met_off.n_redirected.sum() == 0
+    assert final_target.startswith("https://")
