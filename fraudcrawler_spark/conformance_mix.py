@@ -386,3 +386,88 @@ SELECT lang,
                    1.0), 4) AS sample_weight
 FROM per, tot
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR importance reweighting (r5)
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET = ("src0", "src1")  # the 'high-quality domain' sources
+
+
+def q_dsir_reweight(spark, sf_dir):
+    """DSIR-style importance reweighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): treat
+    sources src0/src1 as the TARGET domain, the rest as the raw pool,
+    fit add-one-smoothed unigram LMs to both sides, and score every doc
+    by the summed log importance ratio of its token occurrences
+    Σ log p_tgt(t) − log p_src(t). Docs with positive weight look more
+    target-like than pool-like — the resampling keep set.
+
+    Plan (same shape as the perplexity family): one token-keyed hash
+    aggregation builds BOTH frequency tables in a single pass (no
+    per-side scans), totals broadcast, frequencies broadcast back onto
+    the exploded tokens (web-scale vocab beyond broadcast range falls
+    back to a token-key equi-join — same result), one per-doc
+    aggregation. No Python anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.split(F.lower("text"), " ").alias("toks"),
+    )
+    tok = docs.select("doc_id", "source", F.explode("toks").alias("t"))
+    is_tgt = F.col("source").isin(*_DSIR_TARGET)
+    freq = tok.groupBy("t").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).cast("double").alias("c_tgt"),
+        F.sum(F.when(is_tgt, 0).otherwise(1)).cast("double").alias("c_src"),
+    )
+    tot = freq.agg(
+        F.sum("c_tgt").alias("n_tgt"),
+        F.sum("c_src").alias("n_src"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ratio = F.log(
+        (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v"))
+    ) - F.log((F.col("c_src") + 1.0) / (F.col("n_src") + F.col("v")))
+    w = F.round(F.sum(ratio), 4)
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            w.alias("weight"),
+            (w > 0).alias("selected"),
+        )
+    )
+
+
+SQL_DSIR_REWEIGHT = """
+WITH tok AS (
+  SELECT doc_id::BIGINT AS doc_id, source,
+         source IN ('src0', 'src1') AS is_tgt,
+         unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+freq AS (
+  SELECT t,
+    SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END)::DOUBLE AS c_tgt,
+    SUM(CASE WHEN is_tgt THEN 0 ELSE 1 END)::DOUBLE AS c_src
+  FROM tok GROUP BY t
+),
+tot AS (
+  SELECT SUM(c_tgt) AS n_tgt, SUM(c_src) AS n_src,
+         COUNT(*)::DOUBLE AS v
+  FROM freq
+)
+SELECT doc_id, source, COUNT(*) AS n_tokens,
+  ROUND(SUM(ln((c_tgt + 1.0) / (n_tgt + v))
+            - ln((c_src + 1.0) / (n_src + v))), 4) AS weight,
+  (ROUND(SUM(ln((c_tgt + 1.0) / (n_tgt + v))
+             - ln((c_src + 1.0) / (n_src + v))), 4) > 0) AS selected
+FROM tok JOIN freq USING (t), tot
+GROUP BY doc_id, source
+"""

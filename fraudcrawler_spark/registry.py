@@ -133,6 +133,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "split_assign": (cx.q_split_assign, cx.SQL_SPLIT_ASSIGN),
     "group_sample": (cx.q_group_sample, cx.SQL_GROUP_SAMPLE),
     "mixture_weights": (cx.q_mixture_weights, cx.SQL_MIXTURE_WEIGHTS),
+    "dsir_reweight": (cx.q_dsir_reweight, cx.SQL_DSIR_REWEIGHT),
     "corpus_shuffle": (cx.q_corpus_shuffle, cx.SQL_CORPUS_SHUFFLE),
     "sequence_pack": (cx.q_sequence_pack, cx.SQL_SEQUENCE_PACK),
     # flagship composite: prepared corpus → train split → shards → packed
@@ -1642,6 +1643,7 @@ _DRIVER_WINDOW: list[str] = [
     "trap_detect",
     "mime_sniff",
     "host_latency_adapt",
+    "dsir_reweight",
     # --- veterans whose last driver-green row is r3 (oldest cohort) —
     # rotated in for freshness; the r4-green cohort rests this round and
     # stays covered by the full pytest oracle replay ---
@@ -1678,7 +1680,6 @@ _DRIVER_WINDOW: list[str] = [
     "text_tokens_bpe_real",
     "text_quality",
     "text_langid",
-    "langid_eval",
     # (multimodal_meta / ann_lsh / ann_lsh_multi / lsh_eval rotated out
     # for the four late-r5 entries — driver-green r1-3 and replayed by
     # the full pytest oracle suite every round)

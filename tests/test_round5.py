@@ -464,3 +464,29 @@ def test_engine_redirect_and_trap_gates(spark, tmp_path_factory):
     assert met_off.n_trap_dropped.sum() == 0
     assert met_off.n_redirected.sum() == 0
     assert final_target.startswith("https://")
+
+
+def test_dsir_reweight_discriminates(spark):
+    """DSIR semantic pin (the oracle compare can't see it): target-domain
+    docs must score higher on average than the raw pool and be selected
+    at a higher rate — the importance ratio genuinely separates the
+    domains. Plus plan discipline: all-JVM, perplexity-family shape."""
+    from fraudcrawler_spark.conformance_mix import q_dsir_reweight
+
+    sf = "/root/testdata/sf0.01"
+    df = q_dsir_reweight(spark, sf)
+    rows = df.collect()
+    tgt = [r for r in rows if r["source"] in ("src0", "src1")]
+    pool = [r for r in rows if r["source"] not in ("src0", "src1")]
+    assert tgt and pool
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean([r["weight"] for r in tgt]) > 0 > mean(
+        [r["weight"] for r in pool]
+    )
+    assert mean([r["selected"] for r in tgt]) > mean(
+        [r["selected"] for r in pool]
+    ) + 0.2
+
+    p = _plan(spark, q_dsir_reweight(spark, sf))
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "ArrowEvalPython" not in p
