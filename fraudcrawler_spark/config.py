@@ -116,5 +116,10 @@ class CrawlConfig:
     trap_gate: bool = False
     trap_min_urls: int = 25
     trap_min_var: int = 2
+    # seed frontier_0 from the corpus sitemaps table too (sources/
+    # sitemap.parse_sitemaps): sitemap-listed urls enter at seed priority
+    # after the same country/excluded gates, lineage stage 'sitemap'.
+    # Off by default — golden traces predate it.
+    use_sitemaps: bool = False
     salt_shards: int = HOST_SALT_SHARDS
     prompts: tuple[Prompt, ...] = field(default_factory=tuple)

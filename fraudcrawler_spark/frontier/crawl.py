@@ -70,15 +70,44 @@ def init_crawl(
         excluded_hosts=t.get("excluded_hosts"), country_code=config.country_code,
     )
     flagged = items.where(F.col("filtered"))
-    frontier0 = (
-        items.where(~F.col("filtered"))
-        .select(
-            "url",
-            canonical_host_expr(F.col("url")).alias("host"),
+    seed_cand = items.where(~F.col("filtered")).select(
+        "url",
+        canonical_host_expr(F.col("url")).alias("host"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("crawl_depth"),
+    )
+    # --- opt-in sitemap seeding (config.use_sitemaps): the discovery
+    # surface every real crawler consumes next to robots.txt — sitemap-
+    # listed urls enter frontier_0 at seed priority, through the SAME
+    # country/excluded gates as link candidates. The groupBy below
+    # dedupes them against seed discoveries.
+    sitemap_cand = None
+    if config.use_sitemaps:
+        if "sitemaps" not in t:
+            raise ValueError(
+                "use_sitemaps=True but the corpus has no sitemaps.parquet"
+            )
+        from fraudcrawler_spark.sources.sitemap import parse_sitemaps
+
+        cc = config.country_code.lower()
+        ents = parse_sitemaps(t["sitemaps"]).select(
+            F.col("loc").alias("url"),
+            canonical_host_expr(F.col("loc")).alias("host"),
             F.lit(0).alias("priority"),
             F.lit(0).alias("crawl_depth"),
         )
-        .groupBy("url")
+        ents = ents.where(
+            F.lower(F.col("url")).contains(f".{cc}")
+            | F.lower(F.col("url")).contains(".com")
+        )
+        excl = t.get("excluded_hosts")
+        if excl is not None:
+            excl_dom = excl.select(F.explode("domains").alias("host")).distinct()
+            ents = ents.join(F.broadcast(excl_dom), "host", "left_anti")
+        sitemap_cand = ents.select(*FRONTIER_COLS)
+        seed_cand = seed_cand.unionByName(sitemap_cand)
+    frontier0 = (
+        seed_cand.groupBy("url")
         .agg(
             F.first("host").alias("host"),
             F.min("priority").alias("priority"),
@@ -87,7 +116,12 @@ def init_crawl(
         .select(*FRONTIER_COLS)
     )
     state.write("frontier", 0, frontier0, sort_cols=["priority", "host", "crawl_depth"])
-    state.write("seed_lineage", 0, _lineage(flagged, STAGE_COUNTRY).withColumn(
+    seed_lineage = _lineage(flagged, STAGE_COUNTRY)
+    if sitemap_cand is not None:
+        seed_lineage = seed_lineage.unionByName(
+            _lineage(sitemap_cand, "sitemap")
+        )
+    state.write("seed_lineage", 0, seed_lineage.withColumn(
         "round", F.lit(-1)))
     # seen-store layout params are STATE, not config: segments and the seen
     # table are routed by crc32(url) % seen_partitions at write time, so a

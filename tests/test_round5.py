@@ -490,3 +490,36 @@ def test_dsir_reweight_discriminates(spark):
     p = _plan(spark, q_dsir_reweight(spark, sf))
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_engine_sitemap_seeding(spark, tmp_path_factory):
+    """Opt-in sitemap seeding: with use_sitemaps=True, sitemap-listed
+    urls (including the never-archived /fresh/ ones the fixture plants)
+    enter frontier_0 at seed priority through the same country/excluded
+    gates, with lineage stage 'sitemap'; off (default) they never
+    appear."""
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.datagen import write_corpus
+    from fraudcrawler_spark.frontier.crawl import init_crawl
+
+    d = str(tmp_path_factory.mktemp("sm_corpus"))
+    write_corpus(d, 300)
+
+    st_on = init_crawl(spark, d, str(tmp_path_factory.mktemp("sm_on")),
+                       CrawlConfig(use_sitemaps=True))
+    f0_on = {r["url"]: r for r in st_on.read("frontier", 0).collect()}
+    fresh = [u for u in f0_on if "/fresh/" in u]
+    assert fresh, "sitemap-only urls must seed the frontier"
+    assert all(f0_on[u]["priority"] == 0 and f0_on[u]["crawl_depth"] == 0
+               for u in fresh)
+    assert not any("shop5." in u for u in fresh), "excluded host leaked"
+    assert all(".ch" in u.lower() or ".com" in u.lower() for u in fresh)
+    lin = st_on.read("seed_lineage", 0).toPandas()
+    assert (lin.stage == "sitemap").sum() >= len(fresh)
+
+    st_off = init_crawl(spark, d, str(tmp_path_factory.mktemp("sm_off")),
+                        CrawlConfig())
+    f0_off = {r["url"] for r in st_off.read("frontier", 0).collect()}
+    assert not any("/fresh/" in u for u in f0_off)
+    # and the sitemap run is a superset of the default seed frontier
+    assert f0_off <= set(f0_on)
