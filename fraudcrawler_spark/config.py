@@ -121,5 +121,13 @@ class CrawlConfig:
     # after the same country/excluded gates, lineage stage 'sitemap'.
     # Off by default — golden traces predate it.
     use_sitemaps: bool = False
+    # latency-adaptive politeness (conformance_net.host_latency_stats over
+    # the corpus fetch_log, computed once per crawl): each host's
+    # effective crawl delay becomes max(robots delay, clip(factor·p95,
+    # 100ms, 10s)), quadrupled (same cap) for hosts whose 5xx rate exceeds
+    # 5% — slow/melting hosts get smaller per-round politeness-cell
+    # budgets (cell_budget's by_delay bound). Off by default.
+    adaptive_politeness: bool = False
+    adaptive_delay_factor: float = 4.0
     salt_shards: int = HOST_SALT_SHARDS
     prompts: tuple[Prompt, ...] = field(default_factory=tuple)

@@ -284,6 +284,39 @@ FROM read_parquet('{_corpus_sql_dir()}/media_headers.parquet')
 # host_latency_adapt — observed-latency percentiles → politeness delays
 # --------------------------------------------------------------------------
 
+def host_latency_stats(
+    log: DataFrame,
+    factor: float = 4.0,
+    floor_ms: float = 100.0,
+    cap_ms: float = 10000.0,
+) -> DataFrame:
+    """Per-host fetch statistics the adaptive-politeness policy consumes:
+    exact p50/p95 latency, 5xx error rate, adaptive_delay_ms =
+    ceil(clip(factor·p95, floor, cap)), backoff = (5xx rate > 5%). One
+    hash aggregation keyed by host. Shared by the q_host_latency_adapt
+    conformance entry and the engine's `adaptive_politeness` hook
+    (frontier/crawl.py) so the two can never drift."""
+    adaptive = F.ceil(
+        F.least(
+            F.greatest(F.col("p95_ms") * factor, F.lit(floor_ms)),
+            F.lit(cap_ms),
+        )
+    )
+    return (
+        log.groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.round(F.percentile("latency_ms", 0.5), 2).alias("p50_ms"),
+            F.round(F.percentile("latency_ms", 0.95), 2).alias("p95_ms"),
+            F.round(
+                F.avg((F.col("status") >= 500).cast("double")), 4
+            ).alias("err5xx_rate"),
+        )
+        .withColumn("adaptive_delay_ms", adaptive.cast("long"))
+        .withColumn("backoff", F.col("err5xx_rate") > 0.05)
+    )
+
+
 def q_host_latency_adapt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive per-host politeness from the fetch log: exact p50/p95
     latency, 5xx error rate, and a recommended inter-request delay =
@@ -297,21 +330,11 @@ def q_host_latency_adapt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fraudcrawler_spark.frontier.politeness import robots_from_txt
 
     log = spark.read.parquet(os.path.join(_corpus(), "fetch_log.parquet"))
-    agg = log.groupBy("host").agg(
-        F.count("*").alias("n_fetches"),
-        F.round(F.percentile("latency_ms", 0.5), 2).alias("p50_ms"),
-        F.round(F.percentile("latency_ms", 0.95), 2).alias("p95_ms"),
-        F.round(
-            F.avg((F.col("status") >= 500).cast("double")), 4
-        ).alias("err5xx_rate"),
-    )
+    agg = host_latency_stats(log)
     robots = robots_from_txt(
         spark.read.parquet(os.path.join(_corpus(), "robots_txt.parquet")),
         user_agent="fraudcrawler",
     ).select("host", "crawl_delay_ms")
-    adaptive = F.ceil(
-        F.least(F.greatest(F.col("p95_ms") * 4, F.lit(100.0)), F.lit(10000.0))
-    )
     return (
         agg.join(F.broadcast(robots), "host", "left")
         .select(
@@ -321,9 +344,10 @@ def q_host_latency_adapt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_ms",
             "err5xx_rate",
             F.greatest(
-                adaptive, F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+                F.col("adaptive_delay_ms"),
+                F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
             ).cast("long").alias("rec_delay_ms"),
-            (F.col("err5xx_rate") > 0.05).alias("backoff"),
+            "backoff",
         )
     )
 

@@ -549,6 +549,48 @@ def run_round(
     return True
 
 
+def adaptive_robots(
+    robots: DataFrame | None, fetch_log: DataFrame, factor: float = 4.0
+) -> DataFrame:
+    """Merge observed-latency delays into the robots dim (once per
+    crawl): effective crawl delay = max(robots delay, clip(factor·p95,
+    100ms, 10s)), quadrupled — same 10s cap — for hosts whose 5xx rate
+    exceeds 5%. cell_budget's by_delay bound then shrinks slow/erroring
+    hosts' per-round schedule automatically. Shares
+    conformance_net.host_latency_stats with the oracled
+    host_latency_adapt entry, so engine policy and conformance entry can
+    never drift. Hosts absent from the fetch log keep their robots-only
+    delay; with no robots dim at all the adaptive delays become the dim
+    (empty disallow lists)."""
+    from fraudcrawler_spark.conformance_net import host_latency_stats
+
+    stats = host_latency_stats(fetch_log, factor=factor).select(
+        "host",
+        F.least(
+            F.when(F.col("backoff"), F.col("adaptive_delay_ms") * 4)
+            .otherwise(F.col("adaptive_delay_ms")),
+            F.lit(10000),
+        ).cast("long").alias("_adaptive_ms"),
+    )
+    if robots is None:
+        return stats.select(
+            "host",
+            F.array().cast("array<string>").alias("disallow_prefixes"),
+            F.col("_adaptive_ms").alias("crawl_delay_ms"),
+        )
+    return (
+        robots.join(stats, "host", "left")
+        .withColumn(
+            "crawl_delay_ms",
+            F.greatest(
+                F.coalesce(F.col("crawl_delay_ms"), F.lit(0)),
+                F.coalesce(F.col("_adaptive_ms"), F.lit(0)),
+            ),
+        )
+        .drop("_adaptive_ms")
+    )
+
+
 def run_crawl(
     spark: SparkSession,
     corpus_dir: str,
@@ -576,6 +618,16 @@ def run_crawl(
         # materialized, then reused by every round's candidate join
         tables["_redirect_map"] = resolve_redirect_map(
             tables["redirects"]
+        ).localCheckpoint()
+    if config.adaptive_politeness:
+        if "fetch_log" not in tables:
+            raise ValueError(
+                "adaptive_politeness=True but the corpus has no "
+                "fetch_log.parquet"
+            )
+        tables["robots"] = adaptive_robots(
+            tables.get("robots"), tables["fetch_log"],
+            factor=config.adaptive_delay_factor,
         ).localCheckpoint()
     start = manifest["last_round"] + 1
     store = _load_seen(spark, state, manifest["last_round"], config)

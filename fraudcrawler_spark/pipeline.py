@@ -47,7 +47,7 @@ RESULT_COLUMNS = [
 def read_corpus(spark: SparkSession, corpus_dir: str) -> dict[str, DataFrame]:
     out = {}
     for name in ("pages", "seeds", "hosts", "excluded_hosts", "robots",
-                 "prompts", "redirects", "sitemaps"):
+                 "prompts", "redirects", "sitemaps", "fetch_log"):
         p = os.path.join(corpus_dir, f"{name}.parquet")
         if os.path.exists(p):
             out[name] = spark.read.parquet(p)

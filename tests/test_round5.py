@@ -523,3 +523,60 @@ def test_engine_sitemap_seeding(spark, tmp_path_factory):
     assert not any("/fresh/" in u for u in f0_off)
     # and the sitemap run is a superset of the default seed frontier
     assert f0_off <= set(f0_on)
+
+
+def test_adaptive_politeness(spark, tmp_path_factory):
+    """Latency-adaptive politeness: adaptive_robots merges fetch-log
+    percentile delays into the robots dim (greatest-wins, ×4 capped for
+    backoff hosts, robots-only hosts untouched), and a crawl with the
+    flag on schedules no MORE per (host, round) than one without —
+    strictly less for a host whose adaptive delay binds."""
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.datagen import write_corpus
+    from fraudcrawler_spark.frontier.crawl import adaptive_robots, run_crawl
+    from fraudcrawler_spark.frontier.politeness import cell_budget
+
+    d = str(tmp_path_factory.mktemp("ap_corpus"))
+    write_corpus(d, 700)
+    robots = spark.read.parquet(f"{d}/robots.parquet")
+    log = spark.read.parquet(f"{d}/fetch_log.parquet")
+
+    merged = {r["host"]: r for r in adaptive_robots(robots, log, 40.0).collect()}
+    base = {r["host"]: r for r in robots.collect()}
+    from fraudcrawler_spark.conformance_net import host_latency_stats
+
+    stats = {r["host"]: r for r in host_latency_stats(log, 40.0).collect()}
+    assert set(merged) == set(base)
+    for h, r in merged.items():
+        s = stats.get(h)
+        want = 0
+        if s is not None:
+            want = s["adaptive_delay_ms"]
+            if s["backoff"]:
+                want = min(want * 4, 10000)
+        assert r["crawl_delay_ms"] == max(base[h]["crawl_delay_ms"] or 0, want), h
+        assert r["disallow_prefixes"] == base[h]["disallow_prefixes"], h
+    assert any(
+        (merged[h]["crawl_delay_ms"] or 0) > (base[h]["crawl_delay_ms"] or 0)
+        for h in merged
+    ), "factor 40 must bind somewhere"
+
+    # end-to-end: the bound delay shrinks per-(host, round) schedules
+    def sched(flag):
+        cfg = CrawlConfig(host_budget=16, salt_shards=2, max_depth=2,
+                          adaptive_politeness=flag,
+                          adaptive_delay_factor=40.0)
+        st = run_crawl(spark, d, str(tmp_path_factory.mktemp(f"ap_{flag}")),
+                       cfg, max_rounds=2)
+        out = {}
+        for r in range(st.read_manifest()["last_round"] + 1):
+            for row in st.read("host_metrics", r).collect():
+                out[(row["host"], row["round"])] = row["n_scheduled"]
+        return out
+
+    on, off = sched(True), sched(False)
+    assert all(on.get(k, 0) <= v for k, v in off.items())
+    binding = [k for k, v in off.items()
+               if v > cell_budget(16, 2, 10000) * 2]
+    assert binding, "fixture must contain a host the delay bound bites"
+    assert any(on.get(k, 0) < off[k] for k in binding)
