@@ -79,11 +79,12 @@ HEADLINE = [
 
 
 def _bench_corpus() -> str:
-    from fraudcrawler_spark.datagen import write_corpus
+    from fraudcrawler_spark.datagen import corpus_is_current, write_corpus
 
-    # repo-local (gitignored) so the cache survives across driver rounds
+    # repo-local (gitignored) so the cache survives across driver rounds;
+    # the `_datagen_rev` marker regenerates it whenever datagen changes
     d = os.path.join(REPO, "data", f"bench_corpus_{BENCH_CORPUS_PAGES}")
-    if not os.path.exists(os.path.join(d, "pages.parquet")):
+    if not corpus_is_current(d):
         write_corpus(d, BENCH_CORPUS_PAGES)
     return d
 
@@ -610,9 +611,9 @@ def run_scaling(corpus: str) -> dict:
     )
     # absolute full-round (checkpointed) throughput on a smaller corpus —
     # the commit machinery is per-round constant cost, measured separately
-    from fraudcrawler_spark.datagen import write_corpus
+    from fraudcrawler_spark.datagen import corpus_is_current, write_corpus
     small = os.path.join(REPO, "data", f"bench_corpus_{FULL_ROUND_PAGES}")
-    if not os.path.exists(os.path.join(small, "pages.parquet")):
+    if not corpus_is_current(small):
         write_corpus(small, FULL_ROUND_PAGES)
     full = _run_worker("_crawl", 32, small)
     tn = best_n["urls_per_sec"]

@@ -378,3 +378,329 @@ SELECT a.host, a.n_fetches, a.p50_ms, a.p95_ms, a.err5xx_rate,
   (a.err5xx_rate > 0.05) AS backoff
 FROM agg a LEFT JOIN robots r ON a.host = r.host
 """
+
+
+# --------------------------------------------------------------------------
+# recrawl_schedule — sitemap lastmod vs archived-snapshot freshness
+# --------------------------------------------------------------------------
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl planning (Cho & Garcia-Molina change-rate
+    scheduling, driven here by the change signal sites volunteer): join
+    sitemap entries against the archived snapshot and classify each url —
+    `discover` (listed, never archived), `recrawl` (archived copy older
+    than the advertised <lastmod>), `fresh` (archive is current). The
+    score orders the recrawl queue: sitemap priority, boosted by
+    staleness (capped at 2× after a year) for recrawl rows and taken
+    whole for discover rows.
+
+    Scale shape: sitemap entries are the SMALL side (hosts × ~50 KB
+    sitemaps, broadcastable or band-joined on url); the archived table is
+    the 10^10-row side and is touched by one hash join on its bucket key
+    url, two pruned columns read. Zero Python; one exchange.
+
+    Reference parity: the reference has no recrawl loop (each run
+    re-fetches everything, src/fraudcrawler/base/orchestrator.py); this
+    is the freshness policy a continuous crawl needs (SURVEY.md §2.10).
+    """
+    import os
+
+    from fraudcrawler_spark.sources.sitemap import parse_sitemaps
+
+    corpus = _corpus()
+    ents = parse_sitemaps(
+        spark.read.parquet(os.path.join(corpus, "sitemaps.parquet"))
+    )
+    pages = (
+        spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+        .select("url", F.to_date("warc_ts").alias("snap_date"))
+    )
+    j = ents.join(pages, ents["loc"] == pages["url"], "left")
+    stale = F.datediff(F.to_date("lastmod"), F.col("snap_date"))
+    action = (
+        F.when(F.col("url").isNull(), F.lit("discover"))
+        .when(stale > 0, F.lit("recrawl"))
+        .otherwise(F.lit("fresh"))
+    )
+    prio = F.coalesce(F.col("priority"), F.lit(0.5))
+    score = (
+        F.when(action == "discover", prio)
+        .when(
+            action == "recrawl",
+            prio * F.least(F.lit(2.0), F.lit(1.0) + stale / F.lit(365.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "host",
+        "loc",
+        "lastmod",
+        F.col("priority"),
+        action.alias("action"),
+        F.when(F.col("url").isNotNull(), stale)
+        .cast("long")
+        .alias("days_stale"),
+        F.round(score, 4).alias("score"),
+    )
+
+
+def _sql_recrawl_schedule() -> str:
+    from fraudcrawler_spark.registry import _corpus_sql_dir
+
+    return rf"""
+WITH raw AS (SELECT host, sitemap_xml
+             FROM read_parquet('{_corpus_sql_dir()}/sitemaps.parquet')),
+blocks AS (
+  SELECT host, unnest(regexp_extract_all(sitemap_xml,
+      '(?s)<url>(.*?)</url>', 1)) AS block
+  FROM raw
+),
+ents AS (
+  SELECT host,
+    trim(regexp_extract(block, '<loc>([^<]*)</loc>', 1)) AS loc,
+    NULLIF(trim(regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1)),
+           '') AS lastmod,
+    TRY_CAST(NULLIF(trim(regexp_extract(block,
+        '<priority>([^<]*)</priority>', 1)), '') AS DOUBLE) AS priority
+  FROM blocks
+  WHERE trim(regexp_extract(block, '<loc>([^<]*)</loc>', 1)) <> ''
+),
+j AS (
+  SELECT e.*, p.url,
+    date_diff('day', CAST(p.warc_ts AS DATE), CAST(e.lastmod AS DATE))
+      AS stale
+  FROM ents e
+  LEFT JOIN read_parquet('{_corpus_sql_dir()}/pages.parquet') p
+    ON e.loc = p.url
+),
+cls AS (
+  SELECT *,
+    CASE WHEN url IS NULL THEN 'discover'
+         WHEN stale > 0 THEN 'recrawl'
+         ELSE 'fresh' END AS action,
+    COALESCE(priority, 0.5) AS prio
+  FROM j
+)
+SELECT host, loc, lastmod, priority, action,
+  CAST(CASE WHEN url IS NOT NULL THEN stale END AS BIGINT) AS days_stale,
+  round(CASE action
+          WHEN 'discover' THEN prio
+          WHEN 'recrawl'
+            THEN prio * least(2.0, 1.0 + stale / 365.0)
+          ELSE 0.0 END, 4) AS score
+FROM cls
+"""
+
+
+# --------------------------------------------------------------------------
+# host_health — per-host crawl operations report
+# --------------------------------------------------------------------------
+
+def q_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-host crawl health dashboard: archived page count
+    (spine), fetch-log status mix + p95 latency, robots posture
+    (disallow count, crawl delay), and outbound redirect count, rolled
+    into a status — `unobserved` (no fetches logged), `erroring`
+    (>5% 5xx), `degraded` (<90% 2xx), else `healthy`.
+
+    Scale shape: four independent per-host hash aggregations (each a
+    map-side partial combine over its table) followed by broadcast joins
+    of the host-keyed summaries — host cardinality is ~10^7 at the
+    100 TB point, MBs per summary, so the spine never shuffles twice.
+    Zero Python.
+
+    Reference parity: none (the reference logs per-request errors only,
+    src/fraudcrawler/base/zyte.py); this is the fleet-operations view a
+    distributed crawl needs (SURVEY.md §2.10).
+    """
+    import os
+
+    corpus = _corpus()
+    host_of = lambda c: F.regexp_extract(c, r"^https?://([^/]+)", 1)  # noqa: E731
+    pages = (
+        spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+        .groupBy(host_of(F.col("url")).alias("host"))
+        .agg(F.count("*").alias("n_pages"))
+    )
+    log = spark.read.parquet(os.path.join(corpus, "fetch_log.parquet"))
+    fetch = log.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.round(
+            F.avg(((F.col("status") >= 200) & (F.col("status") < 300))
+                  .cast("double")), 4
+        ).alias("ok_rate"),
+        F.round(
+            F.avg(((F.col("status") >= 400) & (F.col("status") < 500))
+                  .cast("double")), 4
+        ).alias("err4xx_rate"),
+        F.round(
+            F.avg((F.col("status") >= 500).cast("double")), 4
+        ).alias("err5xx_rate"),
+        F.round(F.percentile("latency_ms", 0.95), 2).alias("p95_ms"),
+    )
+    robots = (
+        spark.read.parquet(os.path.join(corpus, "robots.parquet"))
+        .select(
+            "host",
+            F.size("disallow_prefixes").cast("long").alias("n_disallow"),
+            F.col("crawl_delay_ms").cast("long").alias("crawl_delay_ms"),
+        )
+    )
+    redirects = (
+        spark.read.parquet(os.path.join(corpus, "redirects.parquet"))
+        .groupBy(host_of(F.col("src_url")).alias("host"))
+        .agg(F.count("*").alias("n_redirects"))
+    )
+    out = (
+        pages.join(F.broadcast(fetch), "host", "left")
+        .join(F.broadcast(robots), "host", "left")
+        .join(F.broadcast(redirects), "host", "left")
+    )
+    status = (
+        F.when(F.col("n_fetches").isNull(), F.lit("unobserved"))
+        .when(F.col("err5xx_rate") > 0.05, F.lit("erroring"))
+        .when(F.col("ok_rate") < 0.9, F.lit("degraded"))
+        .otherwise(F.lit("healthy"))
+    )
+    return out.select(
+        "host", "n_pages", "n_fetches", "ok_rate", "err4xx_rate",
+        "err5xx_rate", "p95_ms", "n_disallow", "crawl_delay_ms",
+        F.coalesce("n_redirects", F.lit(0)).alias("n_redirects"),
+        status.alias("status"),
+    )
+
+
+def _sql_host_health() -> str:
+    from fraudcrawler_spark.registry import _corpus_sql_dir
+
+    d = _corpus_sql_dir()
+    return rf"""
+WITH pages AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         COUNT(*) AS n_pages
+  FROM read_parquet('{d}/pages.parquet') GROUP BY 1
+),
+flog AS (
+  SELECT host,
+    COUNT(*) AS n_fetches,
+    round(avg(CASE WHEN status BETWEEN 200 AND 299 THEN 1.0 ELSE 0.0 END),
+          4) AS ok_rate,
+    round(avg(CASE WHEN status BETWEEN 400 AND 499 THEN 1.0 ELSE 0.0 END),
+          4) AS err4xx_rate,
+    round(avg(CASE WHEN status >= 500 THEN 1.0 ELSE 0.0 END), 4)
+      AS err5xx_rate,
+    round(quantile_cont(latency_ms, 0.95), 2) AS p95_ms
+  FROM read_parquet('{d}/fetch_log.parquet') GROUP BY host
+),
+robots AS (
+  SELECT host, CAST(len(disallow_prefixes) AS BIGINT) AS n_disallow,
+         CAST(crawl_delay_ms AS BIGINT) AS crawl_delay_ms
+  FROM read_parquet('{d}/robots.parquet')
+),
+red AS (
+  SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS host,
+         COUNT(*) AS n_redirects
+  FROM read_parquet('{d}/redirects.parquet') GROUP BY 1
+)
+SELECT p.host, p.n_pages, f.n_fetches, f.ok_rate, f.err4xx_rate,
+  f.err5xx_rate, f.p95_ms, r.n_disallow, r.crawl_delay_ms,
+  COALESCE(rd.n_redirects, 0) AS n_redirects,
+  CASE WHEN f.n_fetches IS NULL THEN 'unobserved'
+       WHEN f.err5xx_rate > 0.05 THEN 'erroring'
+       WHEN f.ok_rate < 0.9 THEN 'degraded'
+       ELSE 'healthy' END AS status
+FROM pages p
+LEFT JOIN flog f ON p.host = f.host
+LEFT JOIN robots r ON p.host = r.host
+LEFT JOIN red rd ON p.host = rd.host
+"""
+
+
+# --------------------------------------------------------------------------
+# worker_assign — skew-aware crawler shard planner
+# --------------------------------------------------------------------------
+
+N_WORKERS = 8
+
+
+def q_worker_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign hosts to N_WORKERS crawler shards with the Zipf skew the
+    host distribution actually has: rank hosts by page count (ties by
+    host name) and deal them serpentine — block k of 8 goes 0→7 when k
+    is even, 7→0 when odd — so the heaviest hosts never pile onto the
+    same shard the way `hash(host) % W` does. Emits the host→worker map
+    plus each shard's total load and its imbalance vs the ideal
+    (worker_pages · W / total_pages, 1.0 = perfect).
+
+    Scale shape: one hash aggregation over the page table, then windows
+    over the HOST summary only — at 10^7 hosts that is a few hundred MB
+    through one single-ordering sort (rank and the running totals reuse
+    it), never the 10^10-row page table. The output map is broadcast
+    back to route fetch tasks.
+
+    Reference parity: none (single-process crawler); this is the shard
+    planner a 1000-executor fetch fleet schedules from (SURVEY.md §2.10).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    pages = spark.read.parquet(os.path.join(_corpus(), "pages.parquet"))
+    counts = (
+        pages.groupBy(
+            F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+            .alias("host")
+        )
+        .agg(F.count("*").alias("n_pages"))
+    )
+    w = Window.orderBy(F.desc("n_pages"), F.asc("host"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    blk = ((F.col("rank") - 1) / N_WORKERS).cast("long")
+    pos = (F.col("rank") - 1) % N_WORKERS
+    worker = F.when(blk % 2 == 0, pos).otherwise(N_WORKERS - 1 - pos)
+    assigned = ranked.withColumn("worker", worker.cast("long"))
+    per_worker = Window.partitionBy("worker")
+    total = Window.partitionBy()
+    return assigned.select(
+        "host",
+        "n_pages",
+        F.col("rank").cast("long").alias("host_rank"),
+        "worker",
+        F.sum("n_pages").over(per_worker).alias("worker_pages"),
+        F.round(
+            F.sum("n_pages").over(per_worker)
+            * N_WORKERS
+            / F.sum("n_pages").over(total),
+            4,
+        ).alias("imbalance"),
+    )
+
+
+def _sql_worker_assign() -> str:
+    from fraudcrawler_spark.registry import _corpus_sql_dir
+
+    return rf"""
+WITH counts AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         COUNT(*) AS n_pages
+  FROM read_parquet('{_corpus_sql_dir()}/pages.parquet') GROUP BY 1
+),
+ranked AS (
+  SELECT host, n_pages,
+    ROW_NUMBER() OVER (ORDER BY n_pages DESC, host ASC) AS rank
+  FROM counts
+),
+assigned AS (
+  SELECT host, n_pages, CAST(rank AS BIGINT) AS host_rank,
+    CAST(CASE WHEN ((rank - 1) // {N_WORKERS}) % 2 = 0
+         THEN (rank - 1) % {N_WORKERS}
+         ELSE {N_WORKERS} - 1 - (rank - 1) % {N_WORKERS}
+    END AS BIGINT) AS worker
+  FROM ranked
+)
+SELECT host, n_pages, host_rank, worker,
+  CAST(SUM(n_pages) OVER (PARTITION BY worker) AS BIGINT) AS worker_pages,
+  round(SUM(n_pages) OVER (PARTITION BY worker) * {N_WORKERS}
+        / SUM(n_pages) OVER (), 4) AS imbalance
+FROM assigned
+"""

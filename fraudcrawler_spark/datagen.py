@@ -32,6 +32,11 @@ import numpy as np
 import pandas as pd
 
 SEED = 42
+# bump whenever any generator's OUTPUT changes — cached corpus dirs
+# (registry._crawl_corpus, bench._bench_corpus) compare their written
+# `_datagen_rev` marker against this and regenerate on mismatch, so a
+# datagen edit can never silently poison results through a stale cache
+DATAGEN_REV = 3
 BASE_TS = datetime(2025, 5, 23, 0, 0, 0, tzinfo=timezone.utc)
 
 TERMS = ["sildenafil", "kuehlschrank", "vitamin", "aspirin"]
@@ -307,21 +312,38 @@ def generate_robots_txt(n_hosts: int) -> pd.DataFrame:
 def generate_sitemaps(n_hosts: int, n_pages: int) -> pd.DataFrame:
     """RAW sitemap.xml text per host — the other half of the discovery
     surface a real crawler consumes next to robots.txt. Every 2nd host
-    publishes a sitemap listing its first few page urls (deterministic:
-    pages whose pid % n_hosts == host idx, capped at 5) plus one url the
-    crawl has NOT archived (`/fresh/…`) — so sitemap-driven discovery
-    genuinely adds frontier candidates. Entries carry lastmod dates and
-    priorities; whitespace/indentation varies by host parity and one
-    decoy comment block must be ignored."""
+    publishes a sitemap listing up to 5 of ITS OWN archived pages (the
+    same Zipf host assignment generate_pages uses, recomputed here, so
+    the locs genuinely resolve in the archive) plus one url the crawl
+    has NOT archived (`/fresh/…`) — so sitemap-driven discovery
+    genuinely adds frontier candidates and recrawl_schedule sees all
+    three action classes (odd pids carry post-snapshot lastmods →
+    recrawl; even pids 2024 → fresh; /fresh/ → discover). Entries carry
+    lastmod dates and priorities; whitespace/indentation varies by host
+    parity and one decoy comment block must be ignored."""
+    # the SAME deterministic Zipf host draw as generate_pages — keep in
+    # lockstep or sitemap locs stop matching archived urls
+    rng = np.random.RandomState(SEED)
+    host_idx = (rng.zipf(1.2, size=n_pages) - 1) % n_hosts
+    by_host: dict[int, list[int]] = {}
+    for p, hi in enumerate(host_idx):
+        by_host.setdefault(int(hi), []).append(p)
     rows = []
     for i in range(0, n_hosts, 2):
         host = _host_of(i, n_hosts)
         ents = []
-        pids = [p for p in range(i, min(n_pages, i + 5 * n_hosts), n_hosts)][:5]
+        pids = by_host.get(i, [])[:5]
         for p in pids:
             private = p % 33 == 0
             path = f"/private/p{p:06d}" if private else f"/p{p:06d}"
-            lastmod = f"2024-{(p % 12) + 1:02d}-{(p % 28) + 1:02d}"
+            # odd pids advertise a lastmod AFTER the archived snapshot
+            # window (warc_ts = BASE_TS 2025-05-23 + ≤7 days) so the
+            # recrawl_schedule op sees genuinely stale archived pages;
+            # even pids stay 2024 (archived copy still fresh)
+            if p % 2 == 1:
+                lastmod = f"2025-{(p % 3) + 6:02d}-{(p % 28) + 1:02d}"
+            else:
+                lastmod = f"2024-{(p % 12) + 1:02d}-{(p % 28) + 1:02d}"
             prio = ((p % 10) + 1) / 10.0
             pad = "  " if i % 4 == 0 else "    "
             ents.append(
@@ -684,19 +706,31 @@ def generate_media_headers(n_items: int = 90) -> pd.DataFrame:
 
 def generate_fetch_log(n_hosts: int) -> pd.DataFrame:
     """Per-fetch latency/status observations (host, url, status,
-    latency_ms) the adaptive-politeness op aggregates. Host ``i`` gets
-    ``20 + i % 30`` observations with base latency ``60 + (i % 7) * 120``
-    ms plus deterministic jitter ``(j*37 + i*11) % 200``; hosts
-    ``i % 5 == 1`` throw a 503 every 19th fetch (the backoff trigger) and
-    every 29th fetch 404s."""
+    latency_ms) the adaptive-politeness and host_health ops aggregate.
+    Host ``i`` gets ``20 + i % 30`` observations with base latency
+    ``60 + (i % 7) * 120`` ms plus deterministic jitter
+    ``(j*37 + i*11) % 200``. Injected truth classes (host_health must
+    see every status bucket, not an all-healthy wall): hosts
+    ``i % 13 == 12`` are absent entirely (→ `unobserved`), hosts
+    ``i % 10 == 1`` melt with a 503 every 9th fetch (>5% → `erroring`,
+    the backoff trigger), hosts ``i % 8 == 3`` 404 every 6th fetch
+    (ok_rate < 0.9 → `degraded`); the legacy light-error rules (503
+    every 19th on ``i % 5 == 1``, 404 every 29th) stay below both
+    thresholds (→ `healthy`)."""
     rows = []
     for i in range(n_hosts):
+        if i % 13 == 12:
+            continue  # unobserved host: no fetch-log rows at all
         host = _host_of(i, n_hosts)
         base = 60 + (i % 7) * 120
         for j in range(20 + i % 30):
             status = 200
-            if i % 5 == 1 and j % 19 == 18:
+            if i % 10 == 1 and j % 9 == 8:
                 status = 503
+            elif i % 5 == 1 and j % 19 == 18:
+                status = 503
+            elif i % 8 == 3 and j % 6 == 5:
+                status = 404
             elif j % 29 == 28:
                 status = 404
             rows.append(
@@ -750,7 +784,18 @@ def write_corpus(out_dir: str, n_pages: int = 5000, n_hosts: int | None = None) 
     write_warc(os.path.join(out_dir, "warc"), tables["pages"],
                n_files=max(4, n_pages // 2000))
     paths["warc"] = os.path.join(out_dir, "warc")
+    with open(os.path.join(out_dir, "_datagen_rev"), "w") as f:
+        f.write(str(DATAGEN_REV))
     return paths
+
+
+def corpus_is_current(out_dir: str) -> bool:
+    """True iff ``out_dir`` was written by THIS datagen revision."""
+    try:
+        with open(os.path.join(out_dir, "_datagen_rev")) as f:
+            return f.read().strip() == str(DATAGEN_REV)
+    except OSError:
+        return False
 
 
 if __name__ == "__main__":

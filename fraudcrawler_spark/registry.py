@@ -192,18 +192,14 @@ def _crawl_corpus(n_pages: int = 2000) -> str:
     import os
     import tempfile
 
-    from fraudcrawler_spark.datagen import write_corpus
+    from fraudcrawler_spark.datagen import corpus_is_current, write_corpus
 
     if n_pages not in _CORPUS_CACHE:
         d = os.path.join(tempfile.gettempdir(), f"fc_conf_corpus_{n_pages}")
-        # fetch_log.parquet is the newest corpus artifact (late r5) — its
-        # absence means a stale cache dir that must be regenerated
-        if not all(
-            os.path.exists(os.path.join(d, f"{t}.parquet"))
-            for t in ("pages", "images", "audio", "videos", "raw_pages",
-                      "robots_txt", "sitemaps", "redirects",
-                      "frontier_candidates", "media_headers", "fetch_log")
-        ) or not os.path.isdir(os.path.join(d, "warc")):
+        # the `_datagen_rev` marker (datagen.DATAGEN_REV) invalidates the
+        # cache whenever any generator's output changes — stale fixture
+        # content can no longer silently poison oracle comparisons
+        if not corpus_is_current(d):
             write_corpus(d, n_pages)
         _CORPUS_CACHE[n_pages] = d
     return _CORPUS_CACHE[n_pages]
@@ -1201,6 +1197,18 @@ REGISTRY["mime_sniff"] = (cn.q_mime_sniff, cn._sql_mime_sniff())
 REGISTRY["host_latency_adapt"] = (
     cn.q_host_latency_adapt, cn._sql_host_latency_adapt(SQL_ROBOTS_PARSE)
 )
+
+# late-r5 crawl-operations trio (conformance_net.py): freshness-driven
+# recrawl planning from sitemap lastmod, the per-host crawl-health
+# report, and the skew-aware crawler shard planner. Registered AFTER the
+# r5 _DRIVER_WINDOW was frozen — per the new-entries-go-in-next-window
+# rule (VERDICT r4 item 1) they ride the full pytest oracle replay this
+# round and enter the driver window in r6.
+REGISTRY["recrawl_schedule"] = (
+    cn.q_recrawl_schedule, cn._sql_recrawl_schedule()
+)
+REGISTRY["host_health"] = (cn.q_host_health, cn._sql_host_health())
+REGISTRY["worker_assign"] = (cn.q_worker_assign, cn._sql_worker_assign())
 
 
 # --------------------------------------------------------------------------

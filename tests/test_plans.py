@@ -548,3 +548,31 @@ def test_warc_reader_file_per_task_no_shuffle(spark, sf_dir):
     for block in re.split(r"\(\d+\) Exchange", p2)[1:]:
         head = block.split("Input [")[1].split("]")[0] if "Input [" in block else ""
         assert "payload" not in head, head
+
+
+def test_crawl_ops_trio_plans(spark, sf_dir):
+    """Late-r5 crawl-ops entries keep their designed shapes: all-JVM
+    (no Python stage anywhere); recrawl_schedule reads only
+    (url, warc_ts) from the page table; host_health broadcast-joins the
+    per-host summaries; worker_assign's windows run over the HOST
+    summary (after its aggregation), never the page table."""
+    from fraudcrawler_spark.conformance_net import (
+        q_host_health,
+        q_recrawl_schedule,
+        q_worker_assign,
+    )
+
+    p = _plan(spark, q_recrawl_schedule(spark, sf_dir))
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "ReadSchema: struct<url:string,warc_ts:timestamp>" in p
+
+    p2 = _plan(spark, q_host_health(spark, sf_dir))
+    assert "EvalPython" not in p2 and "MapInPandas" not in p2
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p2)) == 3
+
+    p3 = _plan(spark, q_worker_assign(spark, sf_dir))
+    assert "EvalPython" not in p3 and "MapInPandas" not in p3
+    # the single-partition window sort consumes the aggregated host
+    # summary: exactly one pages scan feeding partial+final aggregates
+    assert len(re.findall(r"\(\d+\) Scan parquet", p3)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p3)) >= 1

@@ -580,3 +580,67 @@ def test_adaptive_politeness(spark, tmp_path_factory):
                if v > cell_budget(16, 2, 10000) * 2]
     assert binding, "fixture must contain a host the delay bound bites"
     assert any(on.get(k, 0) < off[k] for k in binding)
+
+
+def test_crawl_ops_trio(spark):
+    """Late-r5 crawl-operations entries: every injected truth class is
+    populated (no degenerate all-one-class fixtures), the serpentine
+    shard planner beats hash-mod on the Zipf host skew, and the recrawl
+    classification matches first principles recomputed from the raw
+    fixtures."""
+    import duckdb
+
+    from fraudcrawler_spark.registry import REGISTRY, _crawl_corpus
+
+    _crawl_corpus()
+    con = duckdb.connect()
+
+    # recrawl_schedule: all three actions present; every recrawl row is
+    # archived with lastmod strictly after the snapshot date
+    rs = con.execute(REGISTRY["recrawl_schedule"][1]).df()
+    assert set(rs["action"]) == {"discover", "recrawl", "fresh"}
+    rec = rs[rs["action"] == "recrawl"]
+    assert (rec["days_stale"] > 0).all()
+    assert rs[rs["action"] == "discover"]["days_stale"].isna().all()
+    # staleness boost is capped at 2x the sitemap priority
+    pr = rec["priority"].fillna(0.5)
+    assert (rec["score"] <= (pr * 2).round(4) + 1e-9).all()
+
+    # host_health: all four statuses present and consistent with rates
+    hh = con.execute(REGISTRY["host_health"][1]).df()
+    assert set(hh["status"]) == {"healthy", "degraded", "erroring",
+                                 "unobserved"}
+    err = hh[hh["status"] == "erroring"]
+    assert (err["err5xx_rate"] > 0.05).all()
+    deg = hh[hh["status"] == "degraded"]
+    assert ((deg["ok_rate"] < 0.9) & (deg["err5xx_rate"] <= 0.05)).all()
+    assert hh[hh["status"] == "unobserved"]["n_fetches"].isna().all()
+
+    # worker_assign: serpentine is strictly more balanced than
+    # hash(host) % W on the Zipf skew, and every worker is used
+    wa = con.execute(REGISTRY["worker_assign"][1]).df()
+    w = wa.groupby("worker")["n_pages"].sum()
+    assert len(w) == 8
+    serp_imbalance = w.max() / w.mean()
+    hmod = wa.assign(hw=[hash(h) % 8 for h in wa["host"]])
+    hw = hmod.groupby("hw")["n_pages"].sum()
+    assert serp_imbalance < hw.max() / hw.mean()
+    assert abs(wa["imbalance"].max() - round(serp_imbalance, 4)) < 1e-9
+
+
+def test_datagen_rev_invalidates_cache(tmp_path):
+    """A corpus written by an older datagen revision is regenerated, a
+    current one is reused — the stale-cache poisoning class (verify-skill
+    gotcha, r4 bench defect) is closed structurally."""
+    import os
+
+    from fraudcrawler_spark.datagen import corpus_is_current, write_corpus
+
+    d = str(tmp_path / "c")
+    write_corpus(d, 300)
+    assert corpus_is_current(d)
+    with open(os.path.join(d, "_datagen_rev"), "w") as f:
+        f.write("1")
+    assert not corpus_is_current(d)
+    os.remove(os.path.join(d, "_datagen_rev"))
+    assert not corpus_is_current(d)
