@@ -644,3 +644,61 @@ def test_datagen_rev_invalidates_cache(tmp_path):
     assert not corpus_is_current(d)
     os.remove(os.path.join(d, "_datagen_rev"))
     assert not corpus_is_current(d)
+
+
+def test_engine_all_flags_combined(spark, tmp_path_factory):
+    """All four opt-in crawl features ON together (resolve_redirects +
+    trap_gate + use_sitemaps + adaptive_politeness) over the spliced
+    corpus: the run completes, every feature's lineage stage shows up in
+    the SAME crawl (flag interactions are where bugs hide), traps and
+    loops stay out of the frontier while sitemap discoveries enter it,
+    and the whole thing is deterministic — two fresh runs produce
+    identical lineage multisets and identical per-(host, round)
+    schedules."""
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.frontier.crawl import run_crawl
+
+    d, chain_root, loop_url = _spliced_corpus(tmp_path_factory)
+
+    def crawl(tag):
+        root = str(tmp_path_factory.mktemp(f"combo_{tag}"))
+        cfg = CrawlConfig(host_budget=8, max_depth=2,
+                          resolve_redirects=True, trap_gate=True,
+                          use_sitemaps=True, adaptive_politeness=True)
+        state = run_crawl(spark, d, root, cfg, max_rounds=3)
+        last = state.read_manifest()["last_round"]
+        lin, met = None, None
+        for r in range(last + 1):
+            if state.exists("lineage", r):
+                part = state.read("lineage", r)
+                lin = part if lin is None else lin.unionByName(part)
+            if state.exists("host_metrics", r):
+                part = state.read("host_metrics", r)
+                met = part if met is None else met.unionByName(part)
+        seed_lin = state.read("seed_lineage", 0).toPandas()
+        return lin.toPandas(), met.toPandas(), seed_lin
+
+    lin, met, seed_lin = crawl("a")
+    stages = set(lin.stage)
+    # every opt-in feature left its mark in one combined run: sitemap
+    # seeding logs to the round-0 seed_lineage table, the others to the
+    # per-round candidate lineage
+    sm = seed_lin[seed_lin.stage == "sitemap"]
+    assert len(sm) > 0 and any("/fresh/" in u for u in sm.url), (
+        "sitemap discovery lost"
+    )
+    assert "trap" in stages, stages
+    assert "redirect_loop" in stages, stages
+    enq = set(lin[lin.stage == "enqueued"].url)
+    assert not any("/cal/" in u for u in enq)
+    assert loop_url not in enq and chain_root not in enq
+
+    lin2, met2, seed_lin2 = crawl("b")
+    assert sorted(seed_lin.url) == sorted(seed_lin2.url)
+    key = ["stage", "url", "round"]
+    a = lin.groupby(key).size().sort_index()
+    b = lin2.groupby(key).size().sort_index()
+    assert a.equals(b), "combined-flags crawl is nondeterministic"
+    sa = met.set_index(["host", "round"])["n_scheduled"].sort_index()
+    sb = met2.set_index(["host", "round"])["n_scheduled"].sort_index()
+    assert sa.equals(sb)
