@@ -120,8 +120,12 @@ def q_pagerank_priority(spark, sf_dir):
     e1 = docs.select(
         "doc_id", F.pmod(F.col("doc_id") * 7 + 3, F.lit(n)).alias("dst")
     )
+    # quadratic second family (collides, unlike the affine bijection) —
+    # real in-degree skew, so the rank vector is non-constant (late-r5
+    # fix: both affine maps were bijections whenever gcd(a, n) = 1,
+    # making every in-degree exactly 2 and the output a constant 1.0)
     e2 = docs.select(
-        "doc_id", F.pmod(F.col("doc_id") * 13 + 5, F.lit(n)).alias("dst")
+        "doc_id", F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(n)).alias("dst")
     )
     edges = e1.unionByName(e2).select(F.col("doc_id").alias("src"), "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -154,7 +158,7 @@ WITH n AS (SELECT COUNT(*) AS n FROM documents),
 e AS (
   SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM n) AS dst FROM documents
   UNION ALL
-  SELECT doc_id AS src, (doc_id * 13 + 5) % (SELECT n FROM n) AS dst FROM documents
+  SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM n) AS dst FROM documents
 ),
 deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
 r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM n) AS pr FROM documents),
@@ -410,3 +414,105 @@ SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size,
 FROM comp JOIN sizes USING (cluster_id)
 """
 
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg) — link-graph frontier signal
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+
+
+def q_hits_centrality(spark, sf_dir):
+    """Two HITS iterations (Kleinberg hubs/authorities) over the same
+    deterministic 2-out-regular link graph as PageRank: auth(v) =
+    Σ hub(u) over in-edges, hub(u) = Σ auth(v) over out-edges, both
+    rescaled at the end to mean 1 (×N/Σ — so values are O(1) and stable
+    under 4-decimal rounding, same contract as pr_scaled).
+
+    Why it belongs here: PageRank prices a page by WHO links to it;
+    HITS separates directory-style hub pages from authority content —
+    the pair is the classic frontier-prioritization signal set. Plan
+    per iteration: one equi-join shipping the current score along
+    edges + one hash aggregation on the receiving endpoint (map-side
+    partials), identical shuffle shape to the PageRank twin; the final
+    mean-normalization is a broadcast of ONE scalar row, never a
+    collect. Swap the arithmetic edge set for real href edges and
+    nothing changes.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # metadata-cheap count; N parameterizes the twin
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 3, F.lit(n)).alias("dst"),
+    )
+    # the second family is QUADRATIC — unlike the affine map (a bijection
+    # whenever gcd(7, n) = 1) it collides, so in-degree is genuinely
+    # skewed and hubs/authorities separate instead of collapsing to a
+    # constant vector on a regular graph
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(n)).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    # hub_0 = 1.0 on every node (all docs have out-degree 2)
+    hub = docs.select(F.col("doc_id").alias("src"), F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        auth = (
+            edges.join(hub, "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        hub = (
+            edges.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+        )
+    totals = auth.agg(F.sum("auth").alias("sa")).crossJoin(
+        hub.agg(F.sum("hub").alias("sh"))
+    )
+    return (
+        docs.join(auth.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+        .join(hub.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce("auth", F.lit(0.0)) * n / F.col("sa"), 4
+            ).alias("auth_scaled"),
+            F.round(
+                F.coalesce("hub", F.lit(0.0)) * n / F.col("sh"), 4
+            ).alias("hub_scaled"),
+        )
+    )
+
+
+SQL_HITS = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM n) AS dst
+  FROM documents
+),
+a1 AS (SELECT dst, SUM(1.0) AS auth FROM e GROUP BY dst),
+h1 AS (SELECT src, SUM(a1.auth) AS hub FROM e JOIN a1 USING (dst)
+       GROUP BY src),
+a2 AS (SELECT dst, SUM(h1.hub) AS auth FROM e JOIN h1 USING (src)
+       GROUP BY dst),
+h2 AS (SELECT src, SUM(a2.auth) AS hub FROM e JOIN a2 USING (dst)
+       GROUP BY src),
+t AS (SELECT (SELECT SUM(auth) FROM a2) AS sa,
+             (SELECT SUM(hub) FROM h2) AS sh)
+SELECT d.doc_id,
+  round(COALESCE(a2.auth, 0) * (SELECT n FROM n) / t.sa, 4)
+    AS auth_scaled,
+  round(COALESCE(h2.hub, 0) * (SELECT n FROM n) / t.sh, 4)
+    AS hub_scaled
+FROM documents d
+LEFT JOIN a2 ON a2.dst = d.doc_id
+LEFT JOIN h2 ON h2.src = d.doc_id
+CROSS JOIN t
+"""

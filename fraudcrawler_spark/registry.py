@@ -111,6 +111,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # skew-safe agg — conformance_graph.py
     "dedup_clusters": (cg.q_dedup_clusters, cg.SQL_DEDUP_CLUSTERS),
     "pagerank_priority": (cg.q_pagerank_priority, cg.SQL_PAGERANK),
+    # late r5 — rides the full pytest oracle replay this round, enters
+    # the driver window in r6 (new-entries rule)
+    "hits_centrality": (cg.q_hits_centrality, cg.SQL_HITS),
     "salted_agg": (cg.q_salted_agg, cg.SQL_SALTED_AGG),
     # composite: banded simhash64 pairs -> connected components ->
     # canonical election (fingerprint -> pairs -> clusters, one DAG)

@@ -702,3 +702,35 @@ def test_engine_all_flags_combined(spark, tmp_path_factory):
     sa = met.set_index(["host", "round"])["n_scheduled"].sort_index()
     sb = met2.set_index(["host", "round"])["n_scheduled"].sort_index()
     assert sa.equals(sb)
+
+
+def test_hits_centrality_semantics(spark):
+    """HITS pin beyond the oracle compare: scores are nonnegative, both
+    rescale to mean 1, and the authority side genuinely separates nodes
+    (the arithmetic graph's in-degree skew must show up as variance —
+    a constant column would mean the iteration collapsed)."""
+    from fraudcrawler_spark.conformance_graph import q_hits_centrality
+
+    rows = q_hits_centrality(spark, "/root/testdata/sf0.001").collect()
+    auth = [r["auth_scaled"] for r in rows]
+    hub = [r["hub_scaled"] for r in rows]
+    assert all(a >= 0 for a in auth) and all(h >= 0 for h in hub)
+    n = len(rows)
+    assert abs(sum(auth) / n - 1.0) < 1e-3
+    assert abs(sum(hub) / n - 1.0) < 1e-3
+    assert len(set(auth)) > 1 and len(set(hub)) > 1
+
+
+def test_pagerank_nonconstant(spark):
+    """Late-r5 regression pin: the PageRank conformance graph must have
+    skewed in-degree — with two affine bijections every in-degree was
+    exactly 2 and pr_scaled collapsed to a constant 1.0 vector (the
+    oracle compare could never catch a semantically vacuous rank)."""
+    from fraudcrawler_spark.conformance_graph import q_pagerank_priority
+
+    rows = q_pagerank_priority(spark, "/root/testdata/sf0.001").collect()
+    vals = [r["pr_scaled"] for r in rows]
+    # 2 damped iterations quantize ranks into in-degree classes — a
+    # handful of distinct values is expected, ONE is the degenerate case
+    assert len(set(vals)) >= 5, sorted(set(vals))
+    assert abs(sum(vals) / len(vals) - 1.0) < 1e-3
