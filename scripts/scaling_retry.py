@@ -51,16 +51,34 @@ def main() -> None:
         with open(full_path) as f:
             rec = json.load(f)
         rec["history"] = history  # every attempt is on the record
-        prev = rec.get("frontier", {}).get("best_pair_efficiency") or 0
-        if raw_pair > prev:
-            rec["frontier"] = raw_scaling
-            rec["value"] = raw_4n if raw_4n is not None else rec.get("value")
-            rec["scaling_retry"] = True
-            print(f"BENCH_FULL.json frontier updated: best pair {prev} -> "
-                  f"{raw_pair}")
+        run_n = raw_scaling.get("core_n_cores") or 2
+        rec_n = rec.get("frontier", {}).get("core_n_cores") or 2
+        if run_n != rec_n:
+            # non-default regime (FC_SCALE_N): never displace the main
+            # frontier record with an incomparable pair — keep the best
+            # per regime under its own key
+            key = f"frontier_{run_n}to{4 * run_n}"
+            prev = (rec.get(key) or {}).get("best_pair_efficiency") or 0
+            if raw_pair > prev:
+                rec[key] = raw_scaling
+                print(f"BENCH_FULL.json {key} updated: best pair "
+                      f"{prev} -> {raw_pair}")
+            else:
+                print(f"{key} kept (best pair {prev} >= {raw_pair}); "
+                      "history appended")
         else:
-            print(f"frontier kept (best pair {prev} >= {raw_pair}); "
-                  "history appended")
+            prev = rec.get("frontier", {}).get("best_pair_efficiency") or 0
+            if raw_pair > prev:
+                rec["frontier"] = raw_scaling
+                rec["value"] = (
+                    raw_4n if raw_4n is not None else rec.get("value")
+                )
+                rec["scaling_retry"] = True
+                print(f"BENCH_FULL.json frontier updated: best pair "
+                      f"{prev} -> {raw_pair}")
+            else:
+                print(f"frontier kept (best pair {prev} >= {raw_pair}); "
+                      "history appended")
         with open(full_path, "w") as f:
             json.dump(rec, f, indent=1)
 
