@@ -793,6 +793,19 @@ def compact_headline_line(timings: dict, scaling: dict, sf: float) -> str:
         ),
         "detail": "BENCH_FULL.json",
     }
+    # surface the best recorded 1→4 pair (the regime that stays under
+    # the host DRAM ceiling) so the driver capture carries BOTH regimes
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
+            alt = json.load(f).get("frontier_1to4") or {}
+        if alt.get("best_pair_efficiency") is not None:
+            compact["best_pair_efficiency_1to4"] = alt["best_pair_efficiency"]
+            cyc = alt.get("core_cycles") or []
+            compact["pair_1to4_all_cycles_contaminated"] = bool(cyc) and all(
+                c.get("contaminated") for c in cyc
+            )
+    except Exception:
+        pass
     line = json.dumps(compact)
     if len(line) > 1800:  # belt-and-braces: never outgrow the capture
         compact["queries"] = {
