@@ -704,3 +704,113 @@ SELECT host, n_pages, host_rank, worker,
         / SUM(n_pages) OVER (), 4) AS imbalance
 FROM assigned
 """
+
+
+# --------------------------------------------------------------------------
+# change_rate — recrawl-interval estimation from snapshot change history
+# --------------------------------------------------------------------------
+
+_CR_SNAPSHOTS = 6
+
+
+def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-frequency estimation over a crawl's snapshot history (Cho &
+    Garcia-Molina, "Estimating Frequency of Change"): from K=6 content
+    hashes per url, count changed intervals X of n=K-1, apply the
+    bias-corrected estimator  r = -ln((n - X + 0.5)/(n + 0.5)), and emit
+    the recrawl interval 1/r clipped to [1, 30] snapshot periods
+    (never-changed docs park at the 30-cap). Synthetic history: bit t of
+    doc_id is the change indicator for interval t, so the content
+    version at snapshot t is the popcount of doc_id's bits 1..t — every
+    X class 0..5 is populated across doc_id mod 64.
+
+    Scale shape: one explode (K rows per url), one window lag
+    PARTITIONED BY the url key (hash-partitioned, no skew — every
+    partition is exactly K rows), one hash aggregation. This is the
+    production shape over a real (url, fetch_ts, content_hash) log;
+    swap the synthetic hash for the WARC digest and nothing changes.
+
+    Reference parity: none (the reference re-fetches everything each
+    run, src/fraudcrawler/base/orchestrator.py); this decides WHICH
+    urls a continuous crawl re-fetches and how often (SURVEY.md §2.10,
+    complements recrawl_schedule's sitemap-volunteered signal).
+    """
+    from pyspark.sql import Window
+
+    from fraudcrawler_spark.conformance_ml import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exploded = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(_CR_SNAPSHOTS - 1))).alias("t"),
+    )
+    # version(t) = popcount of doc_id bits 1..t — bit k set means the
+    # content changed at snapshot k
+    version = sum(
+        (F.when(F.col("t") >= k, 1).otherwise(0)
+         * F.shiftright(F.col("doc_id"), k).bitwiseAND(F.lit(1)))
+        for k in range(1, _CR_SNAPSHOTS)
+    )
+    snaps = exploded.select(
+        "doc_id", "t",
+        F.md5(
+            F.concat(F.col("text"), F.lit("#"),
+                     version.cast("long").cast("string"))
+        ).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("t")
+    flags = snaps.select(
+        "doc_id", "t",
+        (F.col("h") != F.lag("h").over(w)).cast("int").alias("changed"),
+    ).where(F.col("t") > 0)
+    n = _CR_SNAPSHOTS - 1
+    agg = flags.groupBy("doc_id").agg(
+        F.sum("changed").cast("long").alias("n_changes")
+    )
+    rate = -F.log((F.lit(n) - F.col("n_changes") + 0.5) / F.lit(n + 0.5))
+    return agg.select(
+        "doc_id",
+        F.lit(n).cast("long").alias("n_intervals"),
+        "n_changes",
+        # + 0.0 canonicalizes IEEE -0.0 (X=0 → -ln(1.0)) to +0.0 — the
+        # DuckDB twin does the same, so the value-hash compare can't
+        # split on the zero's sign bit
+        (F.round(rate, 4) + F.lit(0.0)).alias("rate"),
+        F.round(
+            F.when(rate <= 1.0 / 30, F.lit(30.0))
+            .otherwise(F.least(F.lit(30.0), F.greatest(F.lit(1.0), 1.0 / rate))),
+            2,
+        ).alias("recrawl_period"),
+    )
+
+
+SQL_CHANGE_RATE = f"""
+WITH snaps AS (
+  SELECT doc_id, t,
+    md5(text || '#' || CAST((CASE WHEN t >= 1 THEN (doc_id >> 1) & 1 ELSE 0 END) + (CASE WHEN t >= 2 THEN (doc_id >> 2) & 1 ELSE 0 END) + (CASE WHEN t >= 3 THEN (doc_id >> 3) & 1 ELSE 0 END) + (CASE WHEN t >= 4 THEN (doc_id >> 4) & 1 ELSE 0 END) + (CASE WHEN t >= 5 THEN (doc_id >> 5) & 1 ELSE 0 END) AS VARCHAR)) AS h
+  FROM documents, generate_series(0, {_CR_SNAPSHOTS - 1}) AS g(t)
+),
+flags AS (
+  SELECT doc_id, t,
+    CAST(h != lag(h) OVER (PARTITION BY doc_id ORDER BY t) AS INT)
+      AS changed
+  FROM snaps
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(changed) AS BIGINT) AS n_changes
+  FROM flags WHERE t > 0 GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST({_CR_SNAPSHOTS - 1} AS BIGINT) AS n_intervals,
+  n_changes,
+  round(-ln(({_CR_SNAPSHOTS - 1} - n_changes + 0.5)
+            / {_CR_SNAPSHOTS - 1 + 0.5}), 4) + 0.0 AS rate,
+  round(CASE WHEN -ln(({_CR_SNAPSHOTS - 1} - n_changes + 0.5)
+                      / {_CR_SNAPSHOTS - 1 + 0.5}) <= 1.0/30
+             THEN 30.0
+             ELSE least(30.0, greatest(1.0,
+                  1.0 / (-ln(({_CR_SNAPSHOTS - 1} - n_changes + 0.5)
+                             / {_CR_SNAPSHOTS - 1 + 0.5}))))
+        END, 2) AS recrawl_period
+FROM agg
+"""

@@ -1212,6 +1212,7 @@ REGISTRY["recrawl_schedule"] = (
 )
 REGISTRY["host_health"] = (cn.q_host_health, cn._sql_host_health())
 REGISTRY["worker_assign"] = (cn.q_worker_assign, cn._sql_worker_assign())
+REGISTRY["change_rate"] = (cn.q_change_rate, cn.SQL_CHANGE_RATE)
 
 
 # --------------------------------------------------------------------------

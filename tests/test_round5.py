@@ -775,3 +775,26 @@ def test_scaling_regime_isolation(tmp_path, monkeypatch):
                  "core_cycles": [{"contaminated": False}]}
     out14 = bench.fold_run_history(scaling14, "scaling_retry")
     assert out14["best_pair_efficiency"] == 0.99  # same-regime promotion
+
+
+def test_change_rate_semantics(spark):
+    """Cho & Garcia-Molina estimator pin beyond the oracle compare:
+    every change-count class 0..5 is populated by the synthetic history,
+    the rate is strictly increasing in observed changes, and the
+    recrawl period is monotonically non-increasing with the 30-cap at
+    X=0 and the 1-floor at X=n."""
+    from fraudcrawler_spark.conformance_net import q_change_rate
+
+    rows = q_change_rate(spark, "/root/testdata/sf0.001").collect()
+    by_x = {}
+    for r in rows:
+        by_x.setdefault(r["n_changes"], set()).add(
+            (r["rate"], r["recrawl_period"])
+        )
+    assert set(by_x) == {0, 1, 2, 3, 4, 5}
+    assert all(len(v) == 1 for v in by_x.values()), "estimator not pure in X"
+    rates = [next(iter(by_x[x]))[0] for x in range(6)]
+    periods = [next(iter(by_x[x]))[1] for x in range(6)]
+    assert rates == sorted(rates) and len(set(rates)) == 6
+    assert periods == sorted(periods, reverse=True)
+    assert periods[0] == 30.0 and periods[5] == 1.0 and rates[0] == 0.0
