@@ -516,3 +516,111 @@ LEFT JOIN a2 ON a2.dst = d.doc_id
 LEFT JOIN h2 ON h2.src = d.doc_id
 CROSS JOIN t
 """
+
+
+# --------------------------------------------------------------------------
+# crawl_depth — BFS hop distance from the seed set over the link graph
+# --------------------------------------------------------------------------
+
+_BFS_MAX_ROUNDS = 25  # pathology bound, not a diameter guess: the
+# corpus link graph (out-degree 7, n=2000) has diameter ~5; a frontier
+# still alive at 25 means the edge derivation broke, and we raise
+# instead of emitting truncated depths. The SQL twin unrolls to the
+# same bound, so both engines agree by construction when we converge.
+
+
+def q_crawl_depth(spark, sf_dir):
+    """Crawl-depth assignment: minimum hop distance of every reachable
+    page from the seed set (page_id % 97 == 0), BFS over the corpus's
+    embedded link graph (datagen.generate_pages targets:
+    dst = (pid*31 + k*101 + 7) % n, k = 0..6). Depth-limited crawling
+    and per-depth budget reports both key off this column.
+
+    Scale shape: classic frontier BFS — per round ONE equi-join of the
+    current frontier (small) against the edge table partitioned by src,
+    then ONE anti-join against the visited set; lineage is cut per
+    round (localCheckpoint locally; a checkpoint/frontier table on a
+    cluster). Rounds = graph depth from seeds (~5 here), not n. The
+    visited set stays hash-partitioned by page_id across rounds, so
+    the anti-join never re-shuffles the big side.
+
+    Reference parity: the reference crawls a fixed result list, depth 1
+    by construction (src/fraudcrawler/base/orchestrator.py); this is
+    the frontier-depth ledger a recursive crawl enforces max_depth
+    with (SURVEY.md §2.10).
+    """
+    import os
+
+    from fraudcrawler_spark.registry import _crawl_corpus
+
+    pages = spark.read.parquet(os.path.join(_crawl_corpus(), "pages.parquet"))
+    ids = pages.select(
+        F.regexp_extract("url", r"/p(\d{6})$", 1).cast("long").alias("page_id")
+    )
+    n = ids.count()
+    edges = (
+        ids.select(
+            F.col("page_id").alias("src"),
+            F.explode(
+                F.array(*[
+                    F.pmod(F.col("page_id") * 31 + k * 101 + 7, F.lit(n))
+                    for k in range(7)
+                ])
+            ).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()  # reused every round; cut the scan lineage once
+    )
+    dist = ids.where(F.pmod("page_id", F.lit(97)) == 0).select(
+        "page_id", F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint()
+    frontier = dist
+    for r in range(1, _BFS_MAX_ROUNDS + 1):
+        nxt = (
+            frontier.join(edges, frontier["page_id"] == edges["src"])
+            .select(
+                F.col("dst").alias("page_id"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .groupBy("page_id")
+            .agg(F.min("depth").alias("depth"))
+        )
+        new = nxt.join(dist.select("page_id"), "page_id", "left_anti")
+        new = new.localCheckpoint()
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"crawl_depth: frontier still alive after {_BFS_MAX_ROUNDS} "
+            "rounds — edge derivation or dedup broke; refusing to emit "
+            "truncated depths"
+        )
+    return dist.select("page_id", "depth")
+
+
+def _sql_crawl_depth() -> str:
+    from fraudcrawler_spark.registry import _corpus_sql_dir
+
+    return rf"""
+WITH RECURSIVE p AS (
+  SELECT CAST(regexp_extract(url, '/p(\d{{6}})$', 1) AS BIGINT) AS pid
+  FROM read_parquet('{_corpus_sql_dir()}/pages.parquet')
+),
+n AS (SELECT COUNT(*) AS n FROM p),
+e AS (
+  SELECT DISTINCT pid AS src,
+         (pid * 31 + k * 101 + 7) % (SELECT n FROM n) AS dst
+  FROM p, generate_series(0, 6) s(k)
+),
+bfs AS (
+  SELECT pid AS page_id, 0 AS depth FROM p WHERE pid % 97 = 0
+  UNION
+  SELECT e.dst AS page_id, b.depth + 1 AS depth
+  FROM bfs b JOIN e ON e.src = b.page_id
+  WHERE b.depth < {_BFS_MAX_ROUNDS}
+)
+SELECT page_id, CAST(MIN(depth) AS BIGINT) AS depth
+FROM bfs GROUP BY page_id
+"""

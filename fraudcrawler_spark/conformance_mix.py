@@ -432,7 +432,10 @@ def q_dsir_reweight(spark, sf_dir):
     ratio = F.log(
         (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v"))
     ) - F.log((F.col("c_src") + 1.0) / (F.col("n_src") + F.col("v")))
-    w = F.round(F.sum(ratio), 4)
+    # + 0.0 normalizes IEEE -0.0 (a doc whose ratio-sum is ±1e-17 —
+    # sf1.0 replicas hit this — rounds to -0.0 in one engine, +0.0 in
+    # the other; -0.0 + 0.0 = +0.0 in both)
+    w = F.round(F.sum(ratio), 4) + F.lit(0.0)
     return (
         tok.join(F.broadcast(freq), "t")
         .crossJoin(F.broadcast(tot))
@@ -465,9 +468,9 @@ tot AS (
 )
 SELECT doc_id, source, COUNT(*) AS n_tokens,
   ROUND(SUM(ln((c_tgt + 1.0) / (n_tgt + v))
-            - ln((c_src + 1.0) / (n_src + v))), 4) AS weight,
+            - ln((c_src + 1.0) / (n_src + v))), 4) + 0.0 AS weight,
   (ROUND(SUM(ln((c_tgt + 1.0) / (n_tgt + v))
-             - ln((c_src + 1.0) / (n_src + v))), 4) > 0) AS selected
+             - ln((c_src + 1.0) / (n_src + v))), 4) + 0.0 > 0) AS selected
 FROM tok JOIN freq USING (t), tot
 GROUP BY doc_id, source
 """

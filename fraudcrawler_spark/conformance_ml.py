@@ -2183,3 +2183,138 @@ dropped AS (SELECT DISTINCT b AS vec_id FROM pairs WHERE cos >= {_SEM_TAU})
 SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
 FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
 """
+
+
+# --------------------------------------------------------------------------
+# bm25_topk — ranked retrieval over the inverted index
+# --------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+# deterministic query workload drawn from the corpus vocabulary
+_BM25_QUERIES = [
+    (0, "table scan fast"),
+    (1, "spark window agg"),
+    (2, "customer query join"),
+    (3, "vector stream"),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (Robertson & Spärck Jones; the Okapi
+    formula Lucene/Elasticsearch default to): score every document
+    against a fixed 4-query workload and keep the 10 best per query.
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term weight
+    tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)), k1=1.2, b=0.75.
+
+    Scale shape: the query-term table is KB-scale and BROADCAST to the
+    posting lists, so the only full-corpus work is the tf/dl
+    aggregation the inverted index (q_inverted_index) already pays —
+    df for the handful of query terms collapses to a broadcast scalar
+    row each, and the final top-k is a per-query window over candidate
+    docs only (docs sharing ≥1 query term), never the whole corpus.
+    Ties break on rounded score then doc_id, so ranking is stable
+    across engines and partitionings.
+
+    Reference parity: none (the reference delegates retrieval to the
+    SERP API, src/fraudcrawler/base/serpapi.py); this is the in-corpus
+    retrieval stage a self-hosted crawl index serves (SURVEY.md §2.10).
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()  # metadata-cheap; parameterizes idf
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))  # 1 row, broadcast below
+
+    qterms = spark.createDataFrame(
+        [(qid, q, t) for qid, q in _BM25_QUERIES for t in q.split(" ")],
+        "qid long, query string, t string",
+    )
+    df_ = tf.join(F.broadcast(qterms.select("t").distinct()), "t").groupBy(
+        "t"
+    ).agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(avgdl))
+        .select(
+            "qid", "query", "doc_id",
+            (
+                idf
+                * F.col("tf") * (1.0 + _BM25_K1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+    )
+    scored = hits.groupBy("qid", "query", "doc_id").agg(
+        F.round(F.sum("w"), 4).alias("bm25")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_K)
+        .select("qid", "query", "doc_id", "bm25", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_BM25_Q_SQL = " UNION ALL ".join(
+    f"SELECT {qid} AS qid, '{q}' AS query, unnest(string_split('{q}', ' ')) AS t"
+    for qid, q in _BM25_QUERIES
+)
+
+SQL_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+qterms AS ({_BM25_Q_SQL}),
+dfq AS (
+  SELECT tf.t, COUNT(*) AS df FROM tf
+  JOIN (SELECT DISTINCT t FROM qterms) q ON q.t = tf.t GROUP BY 1
+),
+hits AS (
+  SELECT q.qid, q.query, tf.doc_id,
+         ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         * tf.tf * (1.0 + {_BM25_K1})
+         / (tf.tf + {_BM25_K1}
+            * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS w
+  FROM tf
+  JOIN qterms q ON q.t = tf.t
+  JOIN dfq ON dfq.t = tf.t
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, query, doc_id, ROUND(SUM(w), 4) AS bm25
+  FROM hits GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT qid, query, doc_id, bm25,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= {_BM25_K}
+"""

@@ -814,3 +814,93 @@ SELECT doc_id,
         END, 2) AS recrawl_period
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# domain_composition — corpus composition / concentration report by TLD
+# --------------------------------------------------------------------------
+
+def q_domain_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report by top-level domain: hosts, pages,
+    raw bytes, page share, cumulative share in rank order, and the
+    within-TLD host concentration (Herfindahl–Hirschman index,
+    Σ(host_pages/tld_pages)² — 1.0 = one host owns the TLD). The table
+    every crawl-ops review starts from: is the corpus one TLD deep, and
+    is a TLD secretly one host?
+
+    Scale shape: ONE partial+final hash aggregation over the page table
+    to host granularity (10^7 rows out of 10^10 in), then the TLD
+    rollup and rank/cumulative windows run over the host SUMMARY —
+    the HHI folds into the same rollup via Σp² / (Σp)², so no second
+    pass over pages and no join-back. Output is O(#TLDs).
+
+    Reference parity: none (the reference's universe is a SERP result
+    list); this is the composition audit a 100-TB corpus publishes with
+    each snapshot (SURVEY.md §2.10).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    pages = spark.read.parquet(os.path.join(_corpus(), "pages.parquet"))
+    hosts = (
+        pages.select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            F.length("html").alias("nb"),
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("hp"), F.sum("nb").alias("hb"))
+    )
+    tld = hosts.groupBy(
+        F.regexp_extract("host", r"\.([^.]+)$", 1).alias("tld")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("hp").alias("n_pages"),
+        F.sum("hb").alias("n_bytes"),
+        (F.sum(F.col("hp") * F.col("hp")) / (F.sum("hp") * F.sum("hp")))
+        .alias("hhi"),
+    )
+    rank_w = Window.orderBy(F.desc("n_pages"), F.asc("tld"))
+    total_w = Window.partitionBy()
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, 0)
+    return tld.select(
+        "tld",
+        "n_hosts",
+        "n_pages",
+        "n_bytes",
+        F.row_number().over(rank_w).cast("long").alias("tld_rank"),
+        F.round(F.col("n_pages") / F.sum("n_pages").over(total_w), 4)
+        .alias("page_share"),
+        F.round(
+            F.sum("n_pages").over(cum_w) / F.sum("n_pages").over(total_w), 4
+        ).alias("cum_share"),
+        F.round("hhi", 4).alias("host_hhi"),
+    )
+
+
+def _sql_domain_composition() -> str:
+    from fraudcrawler_spark.registry import _corpus_sql_dir
+
+    return rf"""
+WITH hosts AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         COUNT(*) AS hp, SUM(octet_length(html)) AS hb
+  FROM read_parquet('{_corpus_sql_dir()}/pages.parquet') GROUP BY 1
+),
+tld AS (
+  SELECT regexp_extract(host, '\.([^.]+)$', 1) AS tld,
+         COUNT(*) AS n_hosts, SUM(hp) AS n_pages, SUM(hb) AS n_bytes,
+         SUM(hp * hp)::DOUBLE / (SUM(hp) * SUM(hp)) AS hhi
+  FROM hosts GROUP BY 1
+)
+SELECT tld, n_hosts, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_pages DESC, tld ASC) AS BIGINT)
+         AS tld_rank,
+       ROUND(n_pages::DOUBLE / SUM(n_pages) OVER (), 4) AS page_share,
+       ROUND(SUM(n_pages) OVER (ORDER BY n_pages DESC, tld ASC
+               ROWS UNBOUNDED PRECEDING)::DOUBLE
+             / SUM(n_pages) OVER (), 4) AS cum_share,
+       ROUND(hhi, 4) AS host_hhi
+FROM tld
+"""

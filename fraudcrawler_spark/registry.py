@@ -1213,6 +1213,11 @@ REGISTRY["recrawl_schedule"] = (
 REGISTRY["host_health"] = (cn.q_host_health, cn._sql_host_health())
 REGISTRY["worker_assign"] = (cn.q_worker_assign, cn._sql_worker_assign())
 REGISTRY["change_rate"] = (cn.q_change_rate, cn.SQL_CHANGE_RATE)
+REGISTRY["domain_composition"] = (
+    cn.q_domain_composition, cn._sql_domain_composition()
+)
+REGISTRY["crawl_depth"] = (cg.q_crawl_depth, cg._sql_crawl_depth())
+REGISTRY["bm25_topk"] = (m.q_bm25_topk, m.SQL_BM25_TOPK)
 
 
 # --------------------------------------------------------------------------
