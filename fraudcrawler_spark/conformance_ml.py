@@ -2208,14 +2208,15 @@ def q_bm25_topk(spark, sf_dir):
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term weight
     tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)), k1=1.2, b=0.75.
 
-    Scale shape: the query-term table is KB-scale and BROADCAST to the
-    posting lists, so the only full-corpus work is the tf/dl
-    aggregation the inverted index (q_inverted_index) already pays —
-    df for the handful of query terms collapses to a broadcast scalar
-    row each, and the final top-k is a per-query window over candidate
-    docs only (docs sharing ≥1 query term), never the whole corpus.
-    Ties break on rounded score then doc_id, so ranking is stable
-    across engines and partitionings.
+    Scale shape: ONE pass over the corpus builds term frequencies (the
+    same aggregation the inverted index pays); doc length and document
+    frequency both derive from that tf table, never from a re-scan
+    (N comes from the parquet row count — metadata only). The KB-scale
+    query-term table is BROADCAST to the posting lists, df/avgdl
+    collapse to broadcast rows, and the final top-k is a per-query
+    window over candidate docs only (docs sharing ≥1 query term),
+    never the whole corpus. Ties break on rounded score then doc_id,
+    so ranking is stable across engines and partitionings.
 
     Reference parity: none (the reference delegates retrieval to the
     SERP API, src/fraudcrawler/base/serpapi.py); this is the in-corpus
@@ -2229,9 +2230,16 @@ def q_bm25_topk(spark, sf_dir):
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
     )
-    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()  # metadata-cheap; parameterizes idf
+    # materialize tf ONCE (localCheckpoint; a persisted index table in
+    # production) — its three consumers prune different columns, which
+    # defeats Spark's ReuseExchange and would otherwise re-scan the
+    # corpus per consumer
+    tf = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()
+    # dl derives from tf — no second corpus scan (tf is vocab-compressed)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = docs.count()  # parquet metadata only; parameterizes idf
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))  # 1 row, broadcast below
 
     qterms = spark.createDataFrame(

@@ -576,3 +576,51 @@ def test_crawl_ops_trio_plans(spark, sf_dir):
     # summary: exactly one pages scan feeding partial+final aggregates
     assert len(re.findall(r"\(\d+\) Scan parquet", p3)) == 1
     assert len(re.findall(r"\(\d+\) Window", p3)) >= 1
+
+
+def test_bm25_single_corpus_pass_broadcast_sides(spark, sf_dir):
+    """bm25_topk stays all-JVM with every small side broadcast (query
+    terms, df, avgdl) — zero sort-merge joins — and the corpus is
+    scanned exactly once: tf is checkpoint-materialized, so the final
+    plan reads the cached index, not parquet, for dl/df/hits."""
+    from fraudcrawler_spark.conformance_ml import q_bm25_topk
+
+    p = _plan(spark, q_bm25_topk(spark, sf_dir))
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 3
+    # all consumers read the materialized tf — no parquet re-scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0
+
+
+def test_domain_composition_single_scan_summary_windows(spark, sf_dir):
+    """domain_composition reads the page table once (url + html only)
+    and runs its rank/cumulative windows over the TLD rollup — the
+    single-partition window warning applies to an O(#TLDs) summary,
+    never the page table."""
+    from fraudcrawler_spark.conformance_net import q_domain_composition
+
+    p = _plan(spark, q_domain_composition(spark, sf_dir))
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "ReadSchema: struct<url:string,html:binary>" in p
+    # windows sit above BOTH aggregations (host rollup then TLD rollup)
+    agg_first = p.find("HashAggregate")
+    win_first = p.find("Window")
+    assert agg_first != -1 and win_first != -1
+
+
+def test_crawl_depth_converges_fast_nontrivial(spark, sf_dir):
+    """BFS reaches the whole 2000-page corpus from the 21-seed set in
+    well under the pathology bound, with a real depth gradient (not
+    everything at depth 1) — pins both convergence and that the edge
+    derivation produces a connected, expander-ish graph."""
+    from fraudcrawler_spark.conformance_graph import q_crawl_depth
+
+    out = q_crawl_depth(spark, sf_dir).collect()
+    depths = {}
+    for r in out:
+        depths[r["depth"]] = depths.get(r["depth"], 0) + 1
+    assert len(out) == 2000  # fully reachable
+    assert max(depths) <= 8  # converged far below _BFS_MAX_ROUNDS=25
+    assert max(depths) >= 2 and depths[0] == 21  # seeds every 97
