@@ -798,3 +798,32 @@ def test_change_rate_semantics(spark):
     assert rates == sorted(rates) and len(set(rates)) == 6
     assert periods == sorted(periods, reverse=True)
     assert periods[0] == 30.0 and periods[5] == 1.0 and rates[0] == 0.0
+
+
+def test_partition_count_invariance(spark, sf_dir):
+    """Correctness side of the two-cluster-size criterion: the SAME
+    query must return the SAME rows at any parallelism. Run a shape-
+    diverse registry slice (windowed shuffle, iterative CC, banded
+    near-dup composite, broadcast retrieval, global-window planner)
+    under 3 vs 37 shuffle partitions and pin identical sorted results —
+    hash-partition placement, AQE coalescing, and task count must never
+    leak into values."""
+    from fraudcrawler_spark.registry import REGISTRY
+
+    names = [
+        "corpus_shuffle", "dedup_clusters", "bm25_topk", "worker_assign",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("3", "37"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                fn, _ = REGISTRY[n]
+                rows = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n}: results differ across shuffle partition counts"
+        assert len(a) > 0
