@@ -857,8 +857,13 @@ def q_domain_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hosts"),
         F.sum("hp").alias("n_pages"),
         F.sum("hb").alias("n_bytes"),
-        (F.sum(F.col("hp") * F.col("hp")) / (F.sum("hp") * F.sum("hp")))
-        .alias("hhi"),
+        # square in DOUBLE: hp² overflows BIGINT once a host passes
+        # ~3e9 pages; doubles are exact for counts < 2^53 so the twin
+        # stays value-identical at test scale
+        (
+            F.sum(F.col("hp").cast("double") * F.col("hp"))
+            / (F.sum("hp") * F.sum("hp")).cast("double")
+        ).alias("hhi"),
     )
     rank_w = Window.orderBy(F.desc("n_pages"), F.asc("tld"))
     total_w = Window.partitionBy()
@@ -890,7 +895,7 @@ WITH hosts AS (
 tld AS (
   SELECT regexp_extract(host, '\.([^.]+)$', 1) AS tld,
          COUNT(*) AS n_hosts, SUM(hp) AS n_pages, SUM(hb) AS n_bytes,
-         SUM(hp * hp)::DOUBLE / (SUM(hp) * SUM(hp)) AS hhi
+         SUM(hp::DOUBLE * hp) / (SUM(hp)::DOUBLE * SUM(hp)) AS hhi
   FROM hosts GROUP BY 1
 )
 SELECT tld, n_hosts, CAST(n_pages AS BIGINT) AS n_pages,
