@@ -144,3 +144,134 @@ WHERE EXISTS (
 )
 GROUP BY o_orderpriority
 """
+
+
+def q_shipping_priority(spark, sf_dir):
+    """Unshipped-order backlog top-10 (TPC-H Q3 shape, adapted to this
+    schema — no o_shippriority column): BUILDING-segment orders placed
+    before the cutoff whose lineitems ship after it, ranked by pending
+    revenue. Plan: the customer filter broadcast-semi-joins the orders
+    scan (segment is a dim-side predicate), both fact filters push to
+    the parquet scans, revenue aggregates in DECIMAL (double summation
+    order is not cross-engine reproducible; decimal is), and the
+    top-10 is a single global sort of the per-order aggregate — at
+    100 TB that aggregate is orders-cardinality, and TakeOrderedAndProject
+    keeps only 10 rows per partition, no full sort materialization.
+    """
+    cutoff = "1999-06-30"
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_date"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("rev"),
+        )
+    )
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_date")
+        .agg(F.sum("rev").alias("_rev"))
+    )
+    return (
+        agg.select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("o_date").cast("string").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       SUM((l_extendedprice::DECIMAL(18,2)
+            * (1 - l_discount::DECIMAL(18,2)))::DECIMAL(18,4))::DOUBLE
+         AS revenue,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-06-30'
+  AND l_shipdate > TIMESTAMP '1999-06-30'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """Small-quantity-order revenue probe (TPC-H Q17 shape, adapted —
+    brand only, no container column): for Brand#1 parts, the yearly
+    revenue that would disappear if orders below half the part's
+    average quantity were no longer filled. The textbook correlated
+    subquery becomes a PRE-AGGREGATE + broadcast join: per-part avg
+    quantity is computed once over the brand's lineitems (part-filtered
+    via broadcast semi-join) and broadcast back — no per-row subquery,
+    no second fact shuffle. Output is one row; DECIMAL end-to-end.
+    """
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_quantity", _dec("l_extendedprice").alias("price"))
+        # one brand's lineitems are a sliver of the fact table —
+        # materialize once so avgq and the revenue probe don't each
+        # re-scan 100 TB of lineitem (ReuseExchange can't fire: the two
+        # consumers aggregate differently)
+        .localCheckpoint()
+    )
+    avgq = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    j = li.join(
+        F.broadcast(avgq.withColumnRenamed("l_partkey", "a_partkey")),
+        F.col("l_partkey") == F.col("a_partkey"),
+    ).where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        (F.sum("price") / F.lit(7.0))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("avg_yearly"),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice::DECIMAL(18,2) AS price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+avgq AS (
+  SELECT l_partkey AS a_partkey, AVG(l_quantity) AS avg_qty
+  FROM li GROUP BY 1
+)
+SELECT COUNT(*) AS n_small,
+       ((SUM(price) / 7.0)::DECIMAL(18,4))::DOUBLE AS avg_yearly
+FROM li JOIN avgq ON l_partkey = a_partkey
+WHERE l_quantity < 0.5 * avg_qty
+"""

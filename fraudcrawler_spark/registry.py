@@ -1218,6 +1218,12 @@ REGISTRY["domain_composition"] = (
 )
 REGISTRY["crawl_depth"] = (cg.q_crawl_depth, cg._sql_crawl_depth())
 REGISTRY["bm25_topk"] = (m.q_bm25_topk, m.SQL_BM25_TOPK)
+REGISTRY["shipping_priority"] = (
+    ct.q_shipping_priority, ct.SQL_SHIPPING_PRIORITY
+)
+REGISTRY["small_qty_revenue"] = (
+    ct.q_small_qty_revenue, ct.SQL_SMALL_QTY_REVENUE
+)
 
 
 # --------------------------------------------------------------------------

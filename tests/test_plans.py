@@ -624,3 +624,31 @@ def test_crawl_depth_converges_fast_nontrivial(spark, sf_dir):
     assert len(out) == 2000  # fully reachable
     assert max(depths) <= 8  # converged far below _BFS_MAX_ROUNDS=25
     assert max(depths) >= 2 and depths[0] == 21  # seeds every 97
+
+
+def test_tpch_q3_q17_shapes(spark, sf_dir):
+    """Q3 shape: top-10 rides TakeOrderedAndProject (no full sort
+    materialization), the dim chain broadcasts, and both date filters
+    push to the parquet scans (pruned ReadSchema). Q17 shape: the
+    correlated subquery is a pre-aggregate + broadcast join, all-JVM,
+    no sort-merge join, and the brand-filtered lineitem slice is
+    materialized once — the serve plan re-reads it, not the fact
+    table."""
+    from fraudcrawler_spark.conformance_tpch import (
+        q_shipping_priority,
+        q_small_qty_revenue,
+    )
+
+    p = _plan(spark, q_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"BroadcastHashJoin", p)) >= 2
+    assert "EvalPython" not in p
+    scans = re.findall(r"ReadSchema: (\S+)", p)
+    assert not any("l_returnflag" in s or "o_orderpriority" in s for s in scans)
+
+    p2 = _plan(spark, q_small_qty_revenue(spark, sf_dir))
+    assert "SortMergeJoin" not in p2 and "EvalPython" not in p2
+    # lineitem itself is scanned only inside the materialized slice:
+    # the final plan reads parquet just for the part dim (semi-join
+    # build side resolved at checkpoint time)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p2)) == 0
