@@ -522,6 +522,39 @@ CROSS JOIN t
 # crawl_depth — BFS hop distance from the seed set over the link graph
 # --------------------------------------------------------------------------
 
+def _page_link_graph(spark):
+    """(ids, n, edges) of the corpus's embedded link graph — page_id
+    parsed from the url path, distinct dst = (pid·31 + k·101 + 7) % n
+    for k = 0..6 (datagen.generate_pages targets). Edges are
+    materialized once (localCheckpoint) because every consumer is
+    iterative and re-joins them each round. Shared by q_crawl_depth
+    and q_opic_priority so the derivation can never drift from the
+    SQL twins."""
+    import os
+
+    from fraudcrawler_spark.registry import _crawl_corpus
+
+    pages = spark.read.parquet(os.path.join(_crawl_corpus(), "pages.parquet"))
+    ids = pages.select(
+        F.regexp_extract("url", r"/p(\d{6})$", 1).cast("long").alias("page_id")
+    )
+    n = ids.count()
+    edges = (
+        ids.select(
+            F.col("page_id").alias("src"),
+            F.explode(
+                F.array(*[
+                    F.pmod(F.col("page_id") * 31 + k * 101 + 7, F.lit(n))
+                    for k in range(7)
+                ])
+            ).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()  # reused every round; cut the scan lineage once
+    )
+    return ids, n, edges
+
+
 _BFS_MAX_ROUNDS = 25  # pathology bound, not a diameter guess: the
 # corpus link graph (out-degree 7, n=2000) has diameter ~5; a frontier
 # still alive at 25 means the edge derivation broke, and we raise
@@ -549,28 +582,7 @@ def q_crawl_depth(spark, sf_dir):
     the frontier-depth ledger a recursive crawl enforces max_depth
     with (SURVEY.md §2.10).
     """
-    import os
-
-    from fraudcrawler_spark.registry import _crawl_corpus
-
-    pages = spark.read.parquet(os.path.join(_crawl_corpus(), "pages.parquet"))
-    ids = pages.select(
-        F.regexp_extract("url", r"/p(\d{6})$", 1).cast("long").alias("page_id")
-    )
-    n = ids.count()
-    edges = (
-        ids.select(
-            F.col("page_id").alias("src"),
-            F.explode(
-                F.array(*[
-                    F.pmod(F.col("page_id") * 31 + k * 101 + 7, F.lit(n))
-                    for k in range(7)
-                ])
-            ).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint()  # reused every round; cut the scan lineage once
-    )
+    ids, n, edges = _page_link_graph(spark)
     dist = ids.where(F.pmod("page_id", F.lit(97)) == 0).select(
         "page_id", F.lit(0).cast("long").alias("depth")
     ).localCheckpoint()
@@ -623,4 +635,128 @@ bfs AS (
 )
 SELECT page_id, CAST(MIN(depth) AS BIGINT) AS depth
 FROM bfs GROUP BY page_id
+"""
+
+
+# --------------------------------------------------------------------------
+# opic_priority — On-line Page Importance Computation over the link graph
+# --------------------------------------------------------------------------
+
+_OPIC_ROUNDS = 3
+
+
+def q_opic_priority(spark, sf_dir):
+    """OPIC frontier priority (Abiteboul, Preda & Cobena, WWW 2003,
+    "Adaptive On-Line Page Importance Computation" — the crawl-native
+    importance measure: unlike PageRank it needs no damping dimension
+    and its accumulated-history estimate is meaningful after ANY number
+    of rounds, which is why crawlers use it to prioritize a frontier
+    mid-crawl). Synchronous variant over the corpus link graph: every
+    page starts with cash 1/n; each round it banks its cash into its
+    history and distributes it equally along its out-edges. importance
+    = (history + cash) / (R + 1), reported ×n so values are O(1).
+
+    Scale shape: identical per-round plan to PageRank — one edge
+    equi-join shipping cash/out-degree + one hash aggregation on the
+    receiving endpoint (map-side partials); history folds in as a
+    running column, no extra exchange. Total cash is conserved at 1.0
+    by construction, so no renormalization pass is ever needed — the
+    property that makes OPIC cheaper than PageRank per round at 10^10
+    urls. Oracle: the unrolled SQL twin.
+
+    Edge set: the VARIABLE-out-degree subset k ≤ pid mod 7 of the
+    corpus link targets (out-degree 1..7, never 0 — no dangling cash).
+    The full 7-target set is seven affine bijections mod n, i.e. a
+    7-regular graph, on which ANY importance measure is a constant
+    vector — the same degeneracy the r4 PageRank fix closed; the
+    subset gives genuinely skewed in-degree.
+    """
+    ids, n, _ = _page_link_graph(spark)
+    edges = (
+        ids.select(
+            F.col("page_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(0), F.pmod("page_id", F.lit(7)))
+            ).alias("k"),
+        )
+        .select(
+            "src",
+            F.pmod(F.col("src") * 31 + F.col("k") * 101 + 7, F.lit(n)).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    st = ids.select(
+        "page_id",
+        F.lit(1.0 / n).alias("cash"),
+        F.lit(0.0).alias("hist"),
+    )
+    for _ in range(_OPIC_ROUNDS):
+        inflow = (
+            edges.join(deg, "src")
+            .join(
+                st.select(F.col("page_id").alias("src"), "cash"), "src"
+            )
+            .select("dst", (F.col("cash") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        st = (
+            st.join(
+                inflow.withColumnRenamed("dst", "page_id"), "page_id", "left"
+            )
+            .select(
+                "page_id",
+                F.coalesce("inflow", F.lit(0.0)).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint()  # same lineage discipline as the BFS/CC loops
+        )
+    return st.select(
+        "page_id",
+        F.round(F.col("cash") * n, 4).alias("cash_scaled"),
+        F.round(F.col("hist") * n, 4).alias("hist_scaled"),
+        F.round(
+            (F.col("hist") + F.col("cash")) * n / (_OPIC_ROUNDS + 1), 4
+        ).alias("importance"),
+    )
+
+
+def _sql_opic_priority() -> str:
+    from fraudcrawler_spark.registry import _corpus_sql_dir
+
+    return rf"""
+WITH p AS (
+  SELECT CAST(regexp_extract(url, '/p(\d{{6}})$', 1) AS BIGINT) AS pid
+  FROM read_parquet('{_corpus_sql_dir()}/pages.parquet')
+),
+n AS (SELECT COUNT(*) AS n FROM p),
+e AS (
+  SELECT DISTINCT pid AS src,
+         (pid * 31 + k * 101 + 7) % (SELECT n FROM n) AS dst
+  FROM p, generate_series(0, 6) s(k)
+  WHERE k <= pid % 7
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+s0 AS (SELECT pid, 1.0 / (SELECT n FROM n) AS cash, 0.0 AS hist FROM p),
+i1 AS (SELECT e.dst, SUM(s.cash / deg.deg) AS inflow
+       FROM e JOIN deg USING (src) JOIN s0 s ON s.pid = e.src GROUP BY e.dst),
+s1 AS (SELECT p.pid, COALESCE(i1.inflow, 0) AS cash, s0.hist + s0.cash AS hist
+       FROM p JOIN s0 USING (pid) LEFT JOIN i1 ON i1.dst = p.pid),
+i2 AS (SELECT e.dst, SUM(s.cash / deg.deg) AS inflow
+       FROM e JOIN deg USING (src) JOIN s1 s ON s.pid = e.src GROUP BY e.dst),
+s2 AS (SELECT p.pid, COALESCE(i2.inflow, 0) AS cash, s1.hist + s1.cash AS hist
+       FROM p JOIN s1 USING (pid) LEFT JOIN i2 ON i2.dst = p.pid),
+i3 AS (SELECT e.dst, SUM(s.cash / deg.deg) AS inflow
+       FROM e JOIN deg USING (src) JOIN s2 s ON s.pid = e.src GROUP BY e.dst),
+s3 AS (SELECT p.pid, COALESCE(i3.inflow, 0) AS cash, s2.hist + s2.cash AS hist
+       FROM p JOIN s2 USING (pid) LEFT JOIN i3 ON i3.dst = p.pid)
+SELECT pid AS page_id,
+       ROUND(cash * (SELECT n FROM n), 4) AS cash_scaled,
+       ROUND(hist * (SELECT n FROM n), 4) AS hist_scaled,
+       ROUND((hist + cash) * (SELECT n FROM n) / {_OPIC_ROUNDS + 1}, 4)
+         AS importance
+FROM s3
 """

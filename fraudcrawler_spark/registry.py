@@ -1217,6 +1217,7 @@ REGISTRY["domain_composition"] = (
     cn.q_domain_composition, cn._sql_domain_composition()
 )
 REGISTRY["crawl_depth"] = (cg.q_crawl_depth, cg._sql_crawl_depth())
+REGISTRY["opic_priority"] = (cg.q_opic_priority, cg._sql_opic_priority())
 REGISTRY["bm25_topk"] = (m.q_bm25_topk, m.SQL_BM25_TOPK)
 REGISTRY["shipping_priority"] = (
     ct.q_shipping_priority, ct.SQL_SHIPPING_PRIORITY

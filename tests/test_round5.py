@@ -827,3 +827,21 @@ def test_partition_count_invariance(spark, sf_dir):
     for n, (a, b) in results.items():
         assert a == b, f"{n}: results differ across shuffle partition counts"
         assert len(a) > 0
+
+
+def test_opic_cash_conserved_nonconstant(spark, sf_dir):
+    """OPIC invariants: total cash stays exactly 1 (×n after scaling —
+    the no-renormalization property that makes it cheaper than PageRank
+    per round), history totals R rounds, and importance genuinely
+    separates pages on the Zipf-in-degree link graph."""
+    from fraudcrawler_spark.conformance_graph import (
+        _OPIC_ROUNDS,
+        q_opic_priority,
+    )
+
+    rows = q_opic_priority(spark, sf_dir).collect()
+    n = len(rows)
+    assert n == 2000
+    assert abs(sum(r["cash_scaled"] for r in rows) - n) < 1.0  # Σcash = 1
+    assert abs(sum(r["hist_scaled"] for r in rows) - _OPIC_ROUNDS * n) < 1.0
+    assert len({r["importance"] for r in rows}) >= 20  # non-constant
