@@ -845,3 +845,24 @@ def test_opic_cash_conserved_nonconstant(spark, sf_dir):
     assert abs(sum(r["cash_scaled"] for r in rows) - n) < 1.0  # Σcash = 1
     assert abs(sum(r["hist_scaled"] for r in rows) - _OPIC_ROUNDS * n) < 1.0
     assert len({r["importance"] for r in rows}) >= 20  # non-constant
+
+
+def test_task_retry_determinism(corpus_dir):
+    """Every task's first attempt is crashed inside the Arrow kernel
+    stage (local[4,2] = 2 attempts) and the retried run must be
+    bit-identical to the control — the hash-gate/pure-kernel design's
+    retry-stability claim, actually exercised. Subprocess because the
+    suite's shared session runs local-mode default maxFailures=1."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/retry_determinism.py", corpus_dir],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    out = json.loads(line)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert out["identical"] and out["first_attempt_crashes"] >= 8
