@@ -95,6 +95,17 @@ class CrawlConfig:
     # store and re-enqueued (requires seen_filter_kind='cuckoo' — the
     # deletion-capable backend; Bloom refuses). None = never recrawl.
     recrawl_after_rounds: int | None = None
+    # change-adaptive recrawl (opt-in; needs recrawl_after_rounds = the
+    # BASE period k and the cuckoo backend): each round persists a
+    # per-url content digest; at retire time a url's period stretches
+    # from k up to adaptive_recrawl_max_factor·k as its OBSERVED change
+    # rate drops — Cho & Garcia-Molina's bias-corrected estimator over
+    # its own digest history (the same arithmetic as the oracled
+    # conformance_net.q_change_rate, applied per url in-engine). Urls
+    # with <2 observations stay on the base period. Off by default —
+    # the fixed-TTL path and its golden traces are untouched.
+    adaptive_recrawl: bool = False
+    adaptive_recrawl_max_factor: int = 4
     # frontier priority: "depth" (BFS, reference-faithful — golden traces
     # use this) or "indegree" (depth-major, in-link-count-minor: within a
     # depth level, heavily-linked pages schedule first — the cheap static

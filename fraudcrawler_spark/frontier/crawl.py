@@ -203,6 +203,72 @@ def _load_seen(spark: SparkSession, state: CrawlState, upto: int,
     return store
 
 
+def _adaptive_recrawl_due(
+    state: CrawlState, round_no: int, config: CrawlConfig
+) -> DataFrame | None:
+    """Change-adaptive recrawl due set (config.adaptive_recrawl): a url
+    is due when rounds-since-last-claim ≥ its PERSONAL period — the base
+    k stretched up to k·max_factor as its observed change rate drops.
+    Rate = Cho & Garcia-Molina's bias-corrected estimator
+    r̂ = −ln((n − X + ½)/(n + ½)) over the url's own digest history
+    (X changed intervals of n observed); period = clip(k/r̂, k, k·F).
+    A url with <2 observations (no interval yet) stays on the base k.
+
+    Plan: one max-aggregation over the seen deltas (url-partitioned),
+    one lag window over the digest history — url-keyed, K-row
+    partitions, no skew — and a left join of the two MB-scale
+    summaries. Returns None before any claim carries claim_round (fresh
+    semantics fall back to the fixed-TTL path).
+    """
+    from pyspark.sql import Window
+
+    k = config.recrawl_after_rounds
+    seen_all = state.read_all("seen", round_no - 1)
+    if seen_all is None or "claim_round" not in seen_all.columns:
+        return None
+    last = seen_all.groupBy("url").agg(
+        F.max("claim_round").alias("last_claim")
+    )
+    est = None
+    hist = state.read_all("digests", round_no - 1)
+    if hist is not None:
+        w = Window.partitionBy("url").orderBy("obs_round")
+        ch = hist.select("url", "obs_round", "content_hash").withColumn(
+            "changed",
+            (F.col("content_hash") != F.lag("content_hash").over(w))
+            .cast("int"),
+        )
+        est = ch.groupBy("url").agg(
+            F.sum("changed").alias("x"),
+            (F.count(F.lit(1)) - 1).alias("nint"),
+        )
+    base = float(k)
+    cap = float(k * config.adaptive_recrawl_max_factor)
+    if est is None:
+        due = last.withColumn("period", F.lit(base))
+    else:
+        rate = -F.log(
+            (F.col("nint") - F.col("x") + 0.5) / (F.col("nint") + 0.5)
+        )
+        period = F.when(
+            F.col("nint").isNull() | (F.col("nint") <= 0), F.lit(base)
+        ).otherwise(
+            F.least(
+                F.lit(cap),
+                F.greatest(
+                    F.lit(base),
+                    F.lit(base) / F.greatest(rate, F.lit(1e-9)),
+                ),
+            )
+        )
+        due = last.join(est, "url", "left").withColumn(
+            "period", F.coalesce(period, F.lit(base))
+        )
+    return due.where(
+        F.col("last_claim") <= F.lit(round_no) - F.col("period")
+    ).select("url")
+
+
 def run_round(
     spark: SparkSession,
     state: CrawlState,
@@ -235,7 +301,10 @@ def run_round(
     # fingerprint-collision url from recrawl (r3 review finding).
     if config.recrawl_after_rounds is not None:
         er = round_no - config.recrawl_after_rounds
-        if er >= 0 and state.exists("seen", er):
+        cand = None
+        if config.adaptive_recrawl:
+            cand = _adaptive_recrawl_due(state, round_no, config)
+        if cand is None and er >= 0 and state.exists("seen", er):
             cand = state.read("seen", er).select("url").distinct()
             later = state.read_all("seen", round_no - 1)
             if later is not None and "claim_round" in later.columns:
@@ -244,6 +313,7 @@ def run_round(
                     later.where(F.col("claim_round") > er).select("url"),
                     "url", "left_anti",
                 )
+        if cand is not None:
             expired = cand.localCheckpoint()
             if expired.count() > 0:
                 store.retire(expired)
@@ -336,6 +406,25 @@ def run_round(
     # results parquet is both the round output and the barrier for expansion
     state.write("results", round_no, results)
     results = state.read("results", round_no)
+    if config.adaptive_recrawl:
+        # per-url content digest delta: the change signal the adaptive
+        # retire step estimates from. Reads the just-written results
+        # parquet (no recompute), one xxhash64 projection, tiny output.
+        dig = results.where(F.col("fetch_status") == "hit").select(
+            "url",
+            F.xxhash64(
+                F.concat_ws(
+                    "\x1f",
+                    F.coalesce(F.col("extracted_text"), F.lit("")),
+                    F.coalesce(F.col("product_name"), F.lit("")),
+                    F.coalesce(
+                        F.col("product_price").cast("string"), F.lit("")
+                    ),
+                )
+            ).alias("content_hash"),
+            F.lit(round_no).alias("obs_round"),
+        )
+        state.write("digests", round_no, dig, ncoalesce=4)
     _mark("t_fetch", tick)
 
     # --- link expansion → next frontier candidates ----------------------------

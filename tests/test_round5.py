@@ -866,3 +866,118 @@ def test_task_retry_determinism(corpus_dir):
     out = json.loads(line)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert out["identical"] and out["first_attempt_crashes"] >= 8
+
+
+def test_adaptive_recrawl_stretches_static_urls(spark, tmp_path_factory):
+    """Change-adaptive recrawl end-to-end: a 300-page corpus crawled 7
+    rounds with base period k=1, mutating every pid%5==0 page's html
+    between rounds. CHANGING pages must be re-claimed every round (the
+    estimator keeps them at the base period) while STATIC pages stretch
+    to the k·3 cap after their second observation — claim rounds exactly
+    {0,1,4} — so the adaptive crawl fetches strictly less than the
+    fixed-TTL control while staying equally fresh on the pages that
+    actually change."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fraudcrawler_spark.config import CrawlConfig
+    from fraudcrawler_spark.datagen import write_corpus
+    from fraudcrawler_spark.frontier.bloom import SEEN_HASH_VERSION
+    from fraudcrawler_spark.frontier.checkpoint import CrawlState
+    from fraudcrawler_spark.frontier.crawl import run_crawl
+    from fraudcrawler_spark.functions.urls import canonical_host_expr
+
+    def seed_everything(corpus, root):
+        pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+        st = CrawlState(spark, root)
+        st.write(
+            "frontier", 0,
+            pages.select(
+                "url",
+                canonical_host_expr(F.col("url")).alias("host"),
+                F.lit(0).alias("priority"),
+                F.lit(0).alias("crawl_depth"),
+            ),
+            sort_cols=["priority", "host", "crawl_depth"],
+        )
+        st.commit(-1, {
+            "corpus_dir": corpus,
+            "seen_partitions": cfg.seen_partitions,
+            "seen_capacity_per_part": cfg.seen_capacity_per_part,
+            "seen_filter_kind": "cuckoo",
+            "seen_hash_version": SEEN_HASH_VERSION,
+        })
+        return st
+
+    def mutate(corpus, r):
+        p = os.path.join(corpus, "pages.parquet")
+        df = pq.read_table(p).to_pandas()
+        pid = df["url"].str.extract(r"/p(\d{6})$")[0]
+        sel = pid.notna() & (pid.fillna("0").astype(int) % 5 == 0)
+        df.loc[sel, "html"] = df.loc[sel, "html"].map(
+            lambda b: _re.sub(
+                rb"Section (?:0|rev\d+):",
+                f"Section rev{r}:".encode(), bytes(b),
+            )
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), p,
+            coerce_timestamps="us",
+        )
+
+    def claims_by_url(state, last_round):
+        seen = state.read_all("seen", last_round)
+        out = {}
+        for row in seen.select("url", "claim_round").collect():
+            out.setdefault(row["url"], set()).add(row["claim_round"])
+        return out
+
+    def classify(url):
+        if "/private/" in url:
+            return "private"  # robots-blocked on SOME hosts — excluded
+        pid = int(_re.search(r"/p(\d{6})$", url).group(1))
+        return "changing" if pid % 5 == 0 else "static"
+
+    n_rounds = 7
+    base_corpus = str(tmp_path_factory.mktemp("ar_corpus"))
+    write_corpus(base_corpus, 300)
+
+    cfg = CrawlConfig(
+        host_budget=1 << 30, max_depth=1, seen_filter_kind="cuckoo",
+        recrawl_after_rounds=1, adaptive_recrawl=True,
+        adaptive_recrawl_max_factor=3,
+    )
+    root = str(tmp_path_factory.mktemp("ar_state"))
+    seed_everything(base_corpus, root)
+    for r in range(n_rounds):
+        if r > 0:
+            mutate(base_corpus, r)
+        state = run_crawl(spark, base_corpus, root, cfg, max_rounds=r + 1)
+    claims = claims_by_url(state, n_rounds - 1)
+
+    ch = {u: c for u, c in claims.items() if classify(u) == "changing"}
+    stc = {u: c for u, c in claims.items() if classify(u) == "static"}
+    assert ch and stc
+    assert all(c == set(range(n_rounds)) for c in ch.values()), (
+        "changing pages must stay on the base period"
+    )
+    assert all(c == {0, 1, 4} for c in stc.values()), (
+        "static pages must stretch to the 3-round cap after 2 observations"
+    )
+
+    # fixed-TTL control on the SAME (mutated) corpus: everything
+    # re-fetches every round; adaptive must be strictly cheaper
+    cfg_fixed = CrawlConfig(
+        host_budget=1 << 30, max_depth=1, seen_filter_kind="cuckoo",
+        recrawl_after_rounds=1,
+    )
+    root2 = str(tmp_path_factory.mktemp("ar_state_fixed"))
+    seed_everything(base_corpus, root2)
+    state2 = run_crawl(spark, base_corpus, root2, cfg_fixed,
+                       max_rounds=n_rounds)
+    claims2 = claims_by_url(state2, state2.read_manifest()["last_round"])
+    total_adaptive = sum(len(c) for c in claims.values())
+    total_fixed = sum(len(c) for c in claims2.values())
+    assert total_adaptive < total_fixed
