@@ -214,6 +214,13 @@ def _adaptive_recrawl_due(
     (X changed intervals of n observed); period = clip(k/r̂, k, k·F).
     A url with <2 observations (no interval yet) stays on the base k.
 
+    Intervals are not equal once a url has stretched (k, then up to
+    k·F) while the estimator treats them uniformly — the bias is in
+    the SAFE direction both ways: an unchanged long interval keeps
+    X=0 (already at the cap), and a change observed over a long
+    interval overestimates the per-k rate, snapping the url back to
+    the base period faster than an exact estimator would.
+
     Plan: one max-aggregation over the seen deltas (url-partitioned),
     one lag window over the digest history — url-keyed, K-row
     partitions, no skew — and a left join of the two MB-scale
