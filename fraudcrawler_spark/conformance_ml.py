@@ -2326,3 +2326,129 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE rank <= {_BM25_K}
 """
+
+
+# --------------------------------------------------------------------------
+# cms_hot_shingles — Count-Min Sketch hot-key detection
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_TOPK = 20
+
+
+def q_cms_hot_shingles(spark, sf_dir):
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over the corpus
+    3-gram stream, evaluated against exact counts: estimate the top-20
+    hottest shingles from a 4×1024 sketch and report the overestimate
+    (CMS never underestimates — the invariant the oracle checks row by
+    row). This is the hot-KEY detector feeding the salting decision
+    (q_salted_agg): at 10^10 rows you can't afford an exact group-by
+    just to learn which keys are skewed, but a 16 KB sketch per
+    executor merges in one reduce.
+
+    Plan: ONE corpus pass builds the exact shingle counts (the same
+    aggregation the dedup family pays), materialized once; the sketch
+    is a second aggregation over that vocab-compressed table (depth ×
+    vocab rows in, 4×1024 out), and the 20-row probe set joins the
+    4096-row sketch — broadcast, exchange-free. The sketch hash is the
+    repo's cross-engine md5 idiom, so DuckDB builds the IDENTICAL
+    sketch and the estimates match exactly.
+    """
+    from pyspark.sql import Window
+
+    from fraudcrawler_spark.conformance_mix import _h32
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).where(F.size("toks") >= 3)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+        ),
+    )
+    stream = docs.select(F.explode(sh).alias("shingle"))
+    # exact counts: materialized once — both the sketch build and the
+    # probe set read THIS vocab-sized table, never the corpus again
+    cnt = stream.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    ).localCheckpoint()
+
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
+    ).alias("r")
+    keyed = cnt.select("shingle", "exact_cnt", rows).withColumn(
+        "cell",
+        F.pmod(
+            _h32(F.concat(F.lit("cms"), F.col("r").cast("string"),
+                          F.lit(":"), F.col("shingle"))),
+            F.lit(_CMS_WIDTH),
+        ),
+    )
+    cms = keyed.groupBy("r", "cell").agg(
+        F.sum("exact_cnt").alias("cell_cnt")
+    )
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("shingle"))
+    top = (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _CMS_TOPK)
+    )
+    probe = top.select("shingle", "exact_cnt", "rank", rows).withColumn(
+        "cell",
+        F.pmod(
+            _h32(F.concat(F.lit("cms"), F.col("r").cast("string"),
+                          F.lit(":"), F.col("shingle"))),
+            F.lit(_CMS_WIDTH),
+        ),
+    )
+    return (
+        probe.join(F.broadcast(cms), ["r", "cell"])
+        .groupBy("shingle", "exact_cnt", "rank")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+        .select(
+            "shingle",
+            "exact_cnt",
+            F.col("rank").cast("long").alias("rank"),
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+
+def _sql_cms_hot_shingles() -> str:
+    from fraudcrawler_spark.conformance_mix import _H32_SQL
+
+    h = _H32_SQL.format(x="'cms' || r::VARCHAR || ':' || shingle")
+    return f"""
+WITH stream AS (
+  SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (
+    SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  ), UNNEST(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+),
+cnt AS (SELECT shingle, COUNT(*) AS exact_cnt FROM stream GROUP BY shingle),
+keyed AS (
+  SELECT shingle, exact_cnt, r, {h} % {_CMS_WIDTH} AS cell
+  FROM cnt, generate_series(0, {_CMS_DEPTH - 1}) s(r)
+),
+cms AS (SELECT r, cell, SUM(exact_cnt) AS cell_cnt
+        FROM keyed GROUP BY r, cell),
+top AS (
+  SELECT shingle, exact_cnt,
+         ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, shingle ASC) AS rank
+  FROM cnt QUALIFY rank <= {_CMS_TOPK}
+),
+est AS (
+  SELECT k.shingle, k.exact_cnt, t.rank, MIN(c.cell_cnt) AS cms_est
+  FROM keyed k
+  JOIN top t ON t.shingle = k.shingle
+  JOIN cms c ON c.r = k.r AND c.cell = k.cell
+  GROUP BY k.shingle, k.exact_cnt, t.rank
+)
+SELECT shingle, exact_cnt, CAST(rank AS BIGINT) AS rank, cms_est,
+       cms_est - exact_cnt AS overestimate
+FROM est
+"""

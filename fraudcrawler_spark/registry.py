@@ -1225,6 +1225,9 @@ REGISTRY["shipping_priority"] = (
 REGISTRY["small_qty_revenue"] = (
     ct.q_small_qty_revenue, ct.SQL_SMALL_QTY_REVENUE
 )
+REGISTRY["cms_hot_shingles"] = (
+    m.q_cms_hot_shingles, m._sql_cms_hot_shingles()
+)
 
 
 # --------------------------------------------------------------------------
