@@ -159,3 +159,52 @@ def test_normalize_url_expr_matches_py(spark):
     got = {r["u"]: r["n"] for r in df.select("u", normalize_url_expr(F.col("u")).alias("n")).collect()}
     for u in urls:
         assert got[u] == normalize_url_py(u), (u, got[u], normalize_url_py(u))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=40),
+    st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)),
+        min_size=0, max_size=80,
+    ),
+)
+def test_star_components_matches_union_find(spark, n, raw_edges):
+    """Adversarial pin for the trickiest iterative operator: on random
+    graphs (self-loops and duplicates included), alternating-star
+    connected components must agree with an independent pure-Python
+    union-find — labels (component-min), sizes, and canonical flags."""
+    from fraudcrawler_spark.conformance_graph import star_components
+
+    edges = [(a % n, b % n) for a, b in raw_edges if a % n != b % n]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {v: find(v) for v in range(n)}
+    size: dict = {}
+    for v in range(n):
+        size[label[v]] = size.get(label[v], 0) + 1
+    expect = sorted(
+        (v, label[v], size[label[v]], v == label[v]) for v in range(n)
+    )
+
+    docs = spark.createDataFrame([(v,) for v in range(n)], "doc_id long")
+    sym = edges + [(b, a) for a, b in edges]
+    if sym:
+        edf = spark.createDataFrame(sym, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    got = sorted(
+        tuple(r)
+        for r in star_components(docs, edf).collect()
+    )
+    assert got == expect
