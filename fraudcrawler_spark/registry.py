@@ -1772,3 +1772,82 @@ def q_streaming_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["streaming_warc"] = (q_streaming_warc, SQL_WARC_READ)
+
+
+def q_streaming_fresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time join with a full value oracle: sitemap
+    entries and archive snapshots arrive as two file streams; the
+    watermarked ±365d interval join emits (entry, snapshot, staleness)
+    rows (streaming/ingest.fresh_join_query — the continuous twin of
+    the batch recrawl_schedule). With deterministic input the drained
+    sink equals the batch join, so DuckDB value-checks a genuine
+    stream-stream join the same way streaming_warc shares warc_read's
+    oracle. Registered post-freeze → r6 driver window."""
+    import os
+    import shutil
+    import tempfile
+
+    from fraudcrawler_spark.streaming.ingest import fresh_join_query
+
+    base = os.path.join(tempfile.gettempdir(), "fc_conf_stream_fresh")
+    shutil.rmtree(base, ignore_errors=True)
+    pdir = os.path.join(base, "pages")
+    sdir = os.path.join(base, "sitemaps")
+    os.makedirs(pdir)
+    os.makedirs(sdir)
+    corpus = _crawl_corpus()
+    shutil.copy(os.path.join(corpus, "pages.parquet"),
+                os.path.join(pdir, "pages.parquet"))
+    shutil.copy(os.path.join(corpus, "sitemaps.parquet"),
+                os.path.join(sdir, "sitemaps.parquet"))
+
+    q = (
+        fresh_join_query(spark, pdir, sdir,
+                         os.path.join(base, "out"),
+                         os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), (
+        "streaming fresh-join drain did not finish within 120s"
+    )
+    return spark.read.parquet(os.path.join(base, "out"))
+
+
+def _sql_streaming_fresh_join() -> str:
+    d = _corpus_sql_dir()
+    return rf"""
+WITH raw AS (SELECT host, sitemap_xml
+             FROM read_parquet('{d}/sitemaps.parquet')),
+blocks AS (
+  SELECT host, unnest(regexp_extract_all(sitemap_xml,
+      '(?s)<url>(.*?)</url>', 1)) AS block
+  FROM raw
+),
+ents AS (
+  SELECT host,
+    trim(regexp_extract(block, '<loc>([^<]*)</loc>', 1)) AS loc,
+    NULLIF(trim(regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1)),
+           '') AS lastmod
+  FROM blocks
+  WHERE trim(regexp_extract(block, '<loc>([^<]*)</loc>', 1)) <> ''
+),
+te AS (
+  SELECT host, loc, lastmod, TRY_CAST(lastmod AS TIMESTAMP) AS lastmod_ts
+  FROM ents WHERE TRY_CAST(lastmod AS TIMESTAMP) IS NOT NULL
+)
+SELECT te.host, te.loc, te.lastmod,
+  CAST(CAST(p.warc_ts AS DATE) AS VARCHAR) AS snap_date,
+  CAST(date_diff('day', CAST(p.warc_ts AS DATE),
+                 CAST(te.lastmod_ts AS DATE)) AS BIGINT) AS days_stale
+FROM te
+JOIN read_parquet('{d}/pages.parquet') p
+  ON te.loc = p.url
+ AND CAST(p.warc_ts AS TIMESTAMP) >= te.lastmod_ts - INTERVAL 365 DAY
+ AND CAST(p.warc_ts AS TIMESTAMP) <= te.lastmod_ts + INTERVAL 365 DAY
+"""
+
+
+REGISTRY["streaming_fresh_join"] = (
+    q_streaming_fresh_join, _sql_streaming_fresh_join()
+)

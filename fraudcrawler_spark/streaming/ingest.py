@@ -179,3 +179,76 @@ def host_session_counts(spark: SparkSession, input_dir: str,
             "n_pages",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# stream-stream freshness join (sitemap lastmod × archived snapshot)
+# --------------------------------------------------------------------------
+
+SITEMAPS_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("sitemap_xml", StringType()),
+    ]
+)
+
+
+def fresh_join_query(
+    spark: SparkSession,
+    pages_dir: str,
+    sitemaps_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 days",
+    horizon_days: int = 365,
+):
+    """STREAM-STREAM event-time join: arriving sitemap entries (lastmod
+    = their event time) against arriving archive snapshots (warc_ts) —
+    the continuous form of the batch recrawl_schedule: as either side
+    lands, matched (entry, snapshot) rows emit with the staleness gap.
+
+    Both sides carry a watermark and the join condition bounds warc_ts
+    to ±horizon around lastmod, so Spark can EXPIRE buffered state —
+    the pair of requirements that makes an append-mode stream-stream
+    inner join runnable indefinitely (unbounded state otherwise; see
+    Structured Streaming's join-with-watermark contract). At production
+    scale each side is url-keyed; state is hash-partitioned on the join
+    key and bounded by horizon × arrival rate.
+    """
+    sm = (
+        spark.readStream.schema(SITEMAPS_SCHEMA).parquet(sitemaps_dir)
+    )
+    from fraudcrawler_spark.sources.sitemap import parse_sitemaps
+
+    ents = (
+        parse_sitemaps(sm)
+        .withColumn("lastmod_ts", F.to_timestamp("lastmod"))
+        .where(F.col("lastmod_ts").isNotNull())
+        .withWatermark("lastmod_ts", watermark)
+    )
+    pg = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        .select("url", "warc_ts")
+        .withWatermark("warc_ts", watermark)
+    )
+    j = ents.join(
+        pg,
+        (ents["loc"] == pg["url"])
+        & (pg["warc_ts"] >= ents["lastmod_ts"] - F.expr(f"INTERVAL {horizon_days} DAYS"))
+        & (pg["warc_ts"] <= ents["lastmod_ts"] + F.expr(f"INTERVAL {horizon_days} DAYS")),
+        "inner",
+    ).select(
+        "host",
+        "loc",
+        "lastmod",
+        F.to_date("warc_ts").cast("string").alias("snap_date"),
+        F.datediff(F.to_date("lastmod_ts"), F.to_date("warc_ts"))
+        .cast("long")
+        .alias("days_stale"),
+    )
+    return (
+        j.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
