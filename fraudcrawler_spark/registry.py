@@ -1646,10 +1646,33 @@ REGISTRY["charset_decode"] = (q_charset_decode, SQL_CHARSET_DECODE)
 # that remain; everything else follows in registry order. New operators MUST
 # be added here (near the top) until they earn a green row.
 # --------------------------------------------------------------------------
+# LATE-R5 REBUILD (supersedes the mid-round freeze): the driver check
+# runs at round END, so rebuilding now gets every never-checked entry a
+# CORRECTNESS_r05 row instead of deferring 13 of them to r6 — the
+# recurring late-entry defect (VERDICT r3/r4 item 1) closes completely.
+# Composition: all 30 never-driver-checked entries first (17 original
+# r5-window newcomers + 13 late-r5 additions, each green in the full
+# pytest oracle replay AND individually at sf0.01 this session), then
+# 20 shape-diverse veterans (driver-green r1-r4, replayed every round).
+# Rotated out: 13 r1-r3-green veterans (country_flag, marketplace_join,
+# excluded_anti_join, topk_per_seed, probability_flag, union_dedup,
+# top_suppliers, order_priority, text_fingerprint, fingerprint_winnow,
+# dedup_ngram_jaccard, text_tokens, text_tokens_bpe) — all carried by
+# the suite replay.
 _DRIVER_WINDOW: list[str] = [
-    # --- never driver-green (VERDICT r4 item 1): the five late-r4 oracled
-    # entries that landed after the r4 driver check, plus the former
-    # rows-only trio that gained full DuckDB oracles in r5 ---
+    "bm25_topk",
+    "crawl_depth",
+    "domain_composition",
+    "opic_priority",
+    "shipping_priority",
+    "small_qty_revenue",
+    "cms_hot_shingles",
+    "streaming_fresh_join",
+    "recrawl_schedule",
+    "host_health",
+    "worker_assign",
+    "change_rate",
+    "hits_centrality",
     "warc_hosts",
     "charset_decode",
     "boilerplate",
@@ -1658,58 +1681,35 @@ _DRIVER_WINDOW: list[str] = [
     "crawl_multimodal",
     "crawl_frames",
     "streaming_ingest",
-    # --- new in r5: raw-bytes→clean-text→frontier composite + the
-    # robots.txt parser entry ---
     "crawl_ingest_round",
     "robots_parse",
     "sitemap_discover",
     "warc_cdx",
-    # --- late r5: crawl-network operators (conformance_net.py), never
-    # driver-checked — priority over green veterans ---
     "redirect_resolve",
     "trap_detect",
     "mime_sniff",
     "host_latency_adapt",
     "dsir_reweight",
-    # --- veterans whose last driver-green row is r3 (oldest cohort) —
-    # rotated in for freshness; the r4-green cohort rests this round and
-    # stays covered by the full pytest oracle replay ---
     "pricing_summary",
-    "country_flag",
-    "canonical_host",
-    "marketplace_join",
-    "excluded_anti_join",
+    "pipeline_composite",
     "dedup_first_wins",
     "dedup_prev_run",
-    "keyword_topk",
-    "topk_per_seed",
-    "classify",
-    "probability_flag",
-    "fetch_left_outer",
-    "set_except",
-    "union_dedup",
-    "frontier_order",
-    "politeness_cells",
-    "pipeline_composite",
-    "market_share",
-    "top_suppliers",
-    "order_priority",
     "dedup_exact",
-    "text_fingerprint",
-    "fingerprint_winnow",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_near_dup",
     "ann_topk",
-    "text_tokens",
-    "text_tokens_bpe",
-    "text_tokens_bpe_real",
     "text_quality",
     "text_langid",
-    # (multimodal_meta / ann_lsh / ann_lsh_multi / lsh_eval rotated out
-    # for the four late-r5 entries — driver-green r1-3 and replayed by
-    # the full pytest oracle suite every round)
+    "text_tokens_bpe_real",
+    "classify",
+    "fetch_left_outer",
+    "canonical_host",
+    "keyword_topk",
+    "set_except",
+    "frontier_order",
+    "politeness_cells",
+    "market_share",
 ]
 
 # the driver correctness gate checks exactly the first 50 queries() —
