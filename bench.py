@@ -75,6 +75,10 @@ HEADLINE = [
     # r5: raw-bytes→clean-text→frontier ingest composite (WARC + charset
     # + boilerplate + gates + outlink frontier in one DAG)
     "crawl_ingest_round",
+    # late r5: retrieval, sketch, crawl-graph priority
+    "bm25_topk",
+    "cms_hot_shingles",
+    "opic_priority",
 ]
 
 
