@@ -981,3 +981,18 @@ def test_adaptive_recrawl_stretches_static_urls(spark, tmp_path_factory):
     total_adaptive = sum(len(c) for c in claims.values())
     total_fixed = sum(len(c) for c in claims2.values())
     assert total_adaptive < total_fixed
+
+
+def test_driver_window_ordering_contract():
+    """The driver correctness gate checks exactly the FIRST 50 of
+    queries(); pin that the window list flows through in order, has no
+    duplicates or unknown names, and stays within the 50-slot budget —
+    a reordering regression here silently drops entries out of the
+    round's correctness record."""
+    import __spark_entry__ as entry
+    from fraudcrawler_spark.registry import _DRIVER_WINDOW
+
+    names = list(entry.queries().keys())
+    assert len(_DRIVER_WINDOW) == len(set(_DRIVER_WINDOW)) <= 50
+    assert names[: len(_DRIVER_WINDOW)] == _DRIVER_WINDOW
+    assert set(entry.oracle_sql()) == set(names)
