@@ -2389,11 +2389,19 @@ def q_cms_hot_shingles(spark, sf_dir):
     cms = keyed.groupBy("r", "cell").agg(
         F.sum("exact_cnt").alias("cell_cnt")
     )
-    w = Window.orderBy(F.desc("exact_cnt"), F.asc("shingle"))
-    top = (
-        cnt.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _CMS_TOPK)
+    # Global top-20 WITHOUT an unpartitioned window over the whole shingle
+    # vocabulary (a 10^10-row corpus would funnel a billions-row vocab
+    # through ONE task): orderBy+limit compiles to TakeOrderedAndProject —
+    # per-partition top-20, driver merge — and rank is derived over the
+    # bounded 20-row result via a window partitioned on a constant-valued
+    # but NON-FOLDABLE key (same idiom as q_frontier_order; lit(1) would
+    # be folded away and re-trigger the unpartitioned-window path).
+    order = [F.desc("exact_cnt"), F.asc("shingle")]
+    bounded = cnt.orderBy(*order).limit(_CMS_TOPK).withColumn(
+        "_b", F.pmod(F.length("shingle"), F.lit(1))
     )
+    w = Window.partitionBy("_b").orderBy(*order)
+    top = bounded.withColumn("rank", F.row_number().over(w)).drop("_b")
     probe = top.select("shingle", "exact_cnt", "rank", rows).withColumn(
         "cell",
         F.pmod(
@@ -2410,8 +2418,16 @@ def q_cms_hot_shingles(spark, sf_dir):
             "shingle",
             "exact_cnt",
             F.col("rank").cast("long").alias("rank"),
-            "cms_est",
-            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+            # DOUBLE, deliberately: the DuckDB twin's cell_cnt is
+            # SUM(BIGINT) → HUGEINT, which pandas surfaces as float64 —
+            # the driver's value hash is dtype-sensitive (r5 red row:
+            # Spark long 31 vs oracle float 31.0, values equal). Matching
+            # the oracle's surfaced dtype greens the hash without touching
+            # the frozen oracle SQL.
+            F.col("cms_est").cast("double").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt")).cast("double").alias(
+                "overestimate"
+            ),
         )
     )
 

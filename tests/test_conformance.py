@@ -32,7 +32,16 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.4f}"
+        # integral-valued floats normalize like ints: DuckDB surfaces
+        # HUGEINT (SUM of BIGINT) as int via fetchall() but float64 via
+        # .df(), and Spark twins deliberately match the .df() dtype
+        # (double) for the driver's dtype-sensitive hash — 31 == 31.0
+        # here. Round to 4dp FIRST so 2.00000001 and 2.0 still agree.
+        s = f"{v:.4f}"
+        if s.endswith(".0000"):
+            s = s[:-5]
+            return "0" if s == "-0" else s
+        return s
     return str(v)
 
 
