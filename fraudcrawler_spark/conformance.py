@@ -34,6 +34,7 @@ from fraudcrawler_spark.config import (
 )
 from fraudcrawler_spark.functions.classify import classify_expr
 from fraudcrawler_spark.functions.urls import canonical_host_expr
+from fraudcrawler_spark.session import local_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -181,7 +182,8 @@ def q_marketplace_join(spark, sf_dir):
         F.col("s_suppkey").cast("long").alias("s_suppkey"),
         F.concat(F.lit("shop"), F.pmod(F.col("s_suppkey"), F.lit(10)).cast("string"), F.lit(".com")).alias("domain"),
     )
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         [
             ("AlphaMarket", 0, "shop1.com"),
             ("AlphaMarket", 0, "shop2.com"),
@@ -666,7 +668,8 @@ def q_dim_code_lookup(spark, sf_dir):
     broadcast dim with lowercase cast (reference base/base.py:61-90);
     unmatched names drop (the reference raises at job setup)."""
     n = _t(spark, sf_dir, "nation")
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         [("GERMANY", "DE"), ("FRANCE", "FR"), ("ITALY", "IT"),
          ("SWITZERLAND", "CH"), ("JAPAN", "JP"), ("CANADA", "CA")],
         "name string, code string",

@@ -16,6 +16,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraudcrawler_spark.session import local_df
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -2242,7 +2244,8 @@ def q_bm25_topk(spark, sf_dir):
     n_docs = docs.count()  # parquet metadata only; parameterizes idf
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))  # 1 row, broadcast below
 
-    qterms = spark.createDataFrame(
+    qterms = local_df(
+        spark,
         [(qid, q, t) for qid, q in _BM25_QUERIES for t in q.split(" ")],
         "qid long, query string, t string",
     )

@@ -47,6 +47,23 @@ STAGE_EXCLUDED = "excluded domain (hard drop)"
 FRONTIER_COLS = ["url", "host", "priority", "crawl_depth"]
 
 
+def _par(*thunks) -> None:
+    """Run independent Spark actions from driver threads so their jobs
+    overlap (optimization guide §2.6): the scheduler back-fills executor
+    slots freed by one job's task tail with the next job's tasks. Used
+    for the per-round state writes that have no data dependency on each
+    other — each write is its own job either way, so failure semantics
+    are unchanged (any exception still aborts the round pre-commit)."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        for f in [ex.submit(t) for t in thunks]:
+            f.result()
+
+
 def _lineage(df: DataFrame, stage: str, src_col: str | None = None) -> DataFrame:
     src = F.col(src_col) if src_col else F.lit(None).cast("string")
     return df.select(
@@ -115,14 +132,19 @@ def init_crawl(
         )
         .select(*FRONTIER_COLS)
     )
-    state.write("frontier", 0, frontier0, sort_cols=["priority", "host", "crawl_depth"])
     seed_lineage = _lineage(flagged, STAGE_COUNTRY)
     if sitemap_cand is not None:
         seed_lineage = seed_lineage.unionByName(
             _lineage(sitemap_cand, "sitemap")
         )
-    state.write("seed_lineage", 0, seed_lineage.withColumn(
-        "round", F.lit(-1)))
+    # frontier_0 and the seed lineage are independent slices of the same
+    # discovery output — overlap their writes (§2.6)
+    _par(
+        lambda: state.write("frontier", 0, frontier0,
+                            sort_cols=["priority", "host", "crawl_depth"]),
+        lambda: state.write("seed_lineage", 0, seed_lineage.withColumn(
+            "round", F.lit(-1))),
+    )
     # seen-store layout params are STATE, not config: segments and the seen
     # table are routed by crc32(url) % seen_partitions at write time, so a
     # resume MUST reuse the writing run's values or urls route to the wrong
@@ -366,7 +388,11 @@ def run_round(
         "is_blocked", F.lit(False)
     ).unionByName(blocked.select("url").withColumn("is_blocked", F.lit(True)))
     new_all = store.probe_and_claim(claim_input)
-    new_urls = new_all.where(~F.col("is_blocked")).select("url").localCheckpoint()
+    # no second localCheckpoint: probe_and_claim already materialized its
+    # fused cogroup output, and this is a narrow filter over that
+    # checkpointed RDD — re-scanning it is cheaper than another
+    # materialization job per round
+    new_urls = new_all.where(~F.col("is_blocked")).select("url")
     n_new = new_urls.count()
     dup = scheduled.join(new_urls, "url", "left_anti")
     _mark("t_probe", tick)
@@ -374,11 +400,15 @@ def run_round(
     # persist claimed delta + segments NOW, then reload the store from
     # parquet — the round barrier that keeps seen-state lineage flat
     # store.partitions (manifest-adopted), NOT config.seen_partitions — the
-    # persisted layout wins over whatever the resuming caller passed
-    state.write("seen", round_no, with_part(
-        new_all.select("url"), store.partitions
-    ).withColumn("claim_round", F.lit(round_no)), ncoalesce=8)
-    state.write("bloom", round_no, store.segments, ncoalesce=4)
+    # persisted layout wins over whatever the resuming caller passed.
+    # The two writes are independent (both read the checkpointed probe
+    # output) — overlapped (§2.6).
+    _par(
+        lambda: state.write("seen", round_no, with_part(
+            new_all.select("url"), store.partitions
+        ).withColumn("claim_round", F.lit(round_no)), ncoalesce=8),
+        lambda: state.write("bloom", round_no, store.segments, ncoalesce=4),
+    )
     store.load(state.read("bloom", round_no),
                _effective_seen(state, round_no))
     # segment health: max load factor across Bloom segments (>1.0 ⇒ FP
@@ -598,7 +628,10 @@ def run_round(
     )
     n_scheduled = int(sched_counts.get("scheduled", 0))
     elapsed = time.time() - t0
-    totals = spark.createDataFrame(
+    from fraudcrawler_spark.session import local_df
+
+    totals = local_df(
+        spark,
         [
             {
                 "round": round_no,
@@ -633,13 +666,20 @@ def run_round(
     def _nc(rows: int) -> int | None:
         return None if rows > 2_000_000 else max(1, rows // 100_000 + 1)
 
-    state.write("lineage", round_no, lineage, ncoalesce=_nc(n_enqueued + n_scheduled))
-    state.write("metrics", round_no, totals, ncoalesce=1)
-    state.write("host_metrics", round_no, host_metrics, ncoalesce=1)
-    state.write(
-        "frontier", round_no + 1, next_frontier,
-        sort_cols=["priority", "host", "crawl_depth"],
-        ncoalesce=_nc(n_enqueued + int(sched_counts.get("deferred", 0))),
+    # the four commit tables are mutually independent (all inputs are
+    # checkpointed/derived above) — overlap their jobs (§2.6); the
+    # manifest commit still happens strictly after ALL of them land
+    _par(
+        lambda: state.write("lineage", round_no, lineage,
+                            ncoalesce=_nc(n_enqueued + n_scheduled)),
+        lambda: state.write("metrics", round_no, totals, ncoalesce=1),
+        lambda: state.write("host_metrics", round_no, host_metrics,
+                            ncoalesce=1),
+        lambda: state.write(
+            "frontier", round_no + 1, next_frontier,
+            sort_cols=["priority", "host", "crawl_depth"],
+            ncoalesce=_nc(n_enqueued + int(sched_counts.get("deferred", 0))),
+        ),
     )
     state.commit(round_no)
     return True
