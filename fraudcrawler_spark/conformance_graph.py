@@ -290,7 +290,11 @@ def star_components(docs, edges, max_rounds: int = _CC_MAX_ROUNDS,
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .where(F.col("src") != F.col("dst"))
-            .distinct()
+            # no distinct here: duplicates cannot change mins2 (a min) or
+            # the small-star join output, and the round's final distinct
+            # below dedups the edge set anyway — dropping it removes one
+            # full exchange per round (§2.4); dup volume is bounded by
+            # the undirected degree, same as nbr itself
         )
         # ---- small-star: edges now all point large→small; every node
         # re-links its neighbors (and itself) to its min neighbor

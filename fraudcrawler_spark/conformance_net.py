@@ -48,8 +48,8 @@ def resolve_redirect_map(red: DataFrame) -> DataFrame:
     """Resolve every redirect source to its final landing url via
     POINTER DOUBLING: each round composes the partial-resolution map
     with itself (cur → f(cur)), so a chain of length h settles in
-    ceil(log2(h)) self-joins instead of h sequential lookups — 5 rounds
-    cover MAX_HOPS=16 (2^5 = 32). At 10^10 urls each round is one hash
+    ceil(log2(h)) self-joins instead of h sequential lookups — 4 rounds
+    cover MAX_HOPS=16 (2^4 = 16). At 10^10 urls each round is one hash
     join partitioned by url; the naive per-hop walk would be 16
     sequential shuffles of the full frontier.
 

@@ -76,10 +76,15 @@ def init_crawl(
     corpus_dir: str,
     state_root: str,
     config: CrawlConfig | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> CrawlState:
-    """Seed round: discovery → frontier_0; commits manifest at round -1."""
+    """Seed round: discovery → frontier_0; commits manifest at round -1.
+
+    ``tables``: pass the caller's already-built ``read_corpus`` dict to
+    skip a second round of parquet footer reads (driver-side metadata,
+    ~0.5s per corpus open)."""
     config = config or CrawlConfig()
-    t = read_corpus(spark, corpus_dir)
+    t = tables if tables is not None else read_corpus(spark, corpus_dir)
     state = CrawlState(spark, state_root)
 
     items = discover(
@@ -343,6 +348,39 @@ def run_round(
                     "url", "left_anti",
                 )
         if cand is not None:
+            # idempotence (r6 advice): a url retired in an EARLIER round
+            # that has not been re-claimed since (e.g. its re-enqueue is
+            # still deferred by the politeness budget) stays "due" — but
+            # retiring it AGAIN would run a second cuckoo delete of the
+            # same fingerprint, which can evict a colliding cohabitant's
+            # entry (~2^-16 per cohabitant) and spuriously re-fetch that
+            # other url. Drop urls whose last retire is not yet followed
+            # by a claim.
+            ret_all = state.read_all("retired", round_no - 1)
+            if ret_all is not None:
+                seen_all = state.read_all("seen", round_no - 1)
+                ret_last = ret_all.groupBy("url").agg(
+                    F.max("retire_round").alias("_rr")
+                )
+                if seen_all is not None and "claim_round" in seen_all.columns:
+                    claim_last = seen_all.groupBy("url").agg(
+                        F.max("claim_round").alias("_rc")
+                    )
+                    # strict >: the TTL flow retires and re-claims in the
+                    # SAME round (retire_round == claim_round, claim
+                    # last), so equal rounds mean the re-claim happened
+                    # and the url is fair game for its next expiry
+                    pending = (
+                        ret_last.join(claim_last, "url", "left")
+                        .where(
+                            F.col("_rc").isNull()
+                            | (F.col("_rr") > F.col("_rc"))
+                        )
+                        .select("url")
+                    )
+                else:
+                    pending = ret_last.select("url")
+                cand = cand.join(pending, "url", "left_anti")
             expired = cand.localCheckpoint()
             if expired.count() > 0:
                 store.retire(expired)
@@ -737,11 +775,11 @@ def run_crawl(
     """Run (or resume) a crawl to completion / max_rounds."""
     config = config or CrawlConfig()
     state = CrawlState(spark, state_root)
-    if not state.exists("frontier", 0):
-        state = init_crawl(spark, corpus_dir, state_root, config)
-    manifest = state.read_manifest()
-
     tables = read_corpus(spark, corpus_dir)
+    if not state.exists("frontier", 0):
+        state = init_crawl(spark, corpus_dir, state_root, config,
+                           tables=tables)
+    manifest = state.read_manifest()
     if config.resolve_redirects:
         if "redirects" not in tables:
             raise ValueError(

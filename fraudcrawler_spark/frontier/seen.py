@@ -142,12 +142,23 @@ class SeenStore:
 
     def filter_new(self, urls: DataFrame, url_col: str = "url",
                    assume_unique: bool = False) -> DataFrame:
-        """Exact set of urls NOT in the seen store (Bloom + confirm join)."""
+        """Exact set of urls NOT in the seen store (Bloom + confirm join).
+
+        The probe output feeds TWO consumers (Bloom-negatives passthrough
+        + positives' exact-confirm anti-join). Left as plain branches,
+        each consumer re-executes the whole probe subtree — the cogroup
+        Python pass AND everything upstream of it (in the round DAG
+        that's the link explode + canonicalize + groupBy) run twice. The
+        url-hash repartition below makes both branches read ONE reused
+        shuffle (Spark's exchange reuse), and its HashPartitioning(url)
+        already satisfies the anti-join's left-side distribution, so the
+        confirm join adds no exchange of its own."""
         probed = self.probe(urls, url_col, assume_unique=assume_unique)
+        if self._seen is None:
+            return probed.select("url")
+        probed = probed.repartition(F.col("url"))
         negatives = probed.where(~F.col("maybe_seen")).select("url")
         positives = probed.where(F.col("maybe_seen")).select("url")
-        if self._seen is None:
-            return negatives.unionByName(positives)
         confirmed_new = positives.join(
             self._seen.select("url"), "url", "left_anti"
         )

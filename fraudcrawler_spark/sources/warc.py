@@ -284,12 +284,25 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             paths = sorted(_glob.glob(os.path.join(local, "*.warc*")))
         else:
             paths = sorted(_glob.glob(local))
-        if paths:
-            from fraudcrawler_spark.session import local_df
+        # literal-array route only below 10k files: beyond that the plan
+        # literal gets silly and real archives have multi-hundred-MB
+        # segments where binaryFile's size-based packing is the right
+        # split policy anyway
+        if paths and len(paths) <= 10_000:
+            # spark.range + element_at over a literal path array: full
+            # file-level parallelism (one-ish file per task), pure JVM
+            # until the parse kernel, and ZERO exchange anywhere in the
+            # plan (the payload-never-shuffles pin, test_plans). A
+            # parallelized python list would re-cross the Python
+            # boundary just to ship paths; binaryFile would pack these
+            # small segments into ~128 MB splits (6x parallelism loss on
+            # the bench fixture).
+            from pyspark.sql import functions as F
 
-            files = local_df(
-                spark, [(p,) for p in paths], "path string"
-            ).repartition(len(paths))
+            arr = F.array(*[F.lit(p) for p in paths])
+            files = spark.range(0, len(paths), 1, len(paths)).select(
+                F.element_at(arr, (F.col("id") + 1).cast("int")).alias("path")
+            )
 
             def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
