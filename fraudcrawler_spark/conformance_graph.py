@@ -129,12 +129,13 @@ def q_pagerank_priority(spark, sf_dir):
     )
     edges = e1.unionByName(e2).select(F.col("doc_id").alias("src"), "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # loop-invariant edge ⨝ degree materialized once (see q_opic_priority)
+    ed = edges.join(deg, "src").localCheckpoint()
 
     ranks = docs.select("doc_id", (F.lit(1.0) / n).alias("pr"))
     for _ in range(2):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            ed.join(ranks.withColumnRenamed("doc_id", "src"), "src")
             .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
@@ -692,6 +693,10 @@ def q_opic_priority(spark, sf_dir):
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edge ⨝ out-degree is loop-invariant: materialize it once instead of
+    # re-deriving the distinct edge set + degree agg every iteration
+    # (§2.4 — the per-iteration plan keeps ONE equi-join + one hash agg)
+    ed = edges.join(deg, "src").localCheckpoint()
     st = ids.select(
         "page_id",
         F.lit(1.0 / n).alias("cash"),
@@ -699,8 +704,7 @@ def q_opic_priority(spark, sf_dir):
     )
     for _ in range(_OPIC_ROUNDS):
         inflow = (
-            edges.join(deg, "src")
-            .join(
+            ed.join(
                 st.select(F.col("page_id").alias("src"), "cash"), "src"
             )
             .select("dst", (F.col("cash") / F.col("deg")).alias("c"))

@@ -47,6 +47,13 @@ STAGE_EXCLUDED = "excluded domain (hard drop)"
 FRONTIER_COLS = ["url", "host", "priority", "crawl_depth"]
 
 
+def _nc(rows: int) -> int | None:
+    """File-count discipline for per-round state writes: ~100k rows per
+    file, uncapped (None) for huge rounds so no single-task coalesce
+    bottleneck appears at scale."""
+    return None if rows > 2_000_000 else max(1, rows // 100_000 + 1)
+
+
 def _par(*thunks) -> None:
     """Run independent Spark actions from driver threads so their jobs
     overlap (optimization guide §2.6): the scheduler back-fills executor
@@ -478,8 +485,10 @@ def run_round(
     results = classify_stage(fetched, prompts).withColumn(
         "round", F.lit(round_no)
     )
-    # results parquet is both the round output and the barrier for expansion
-    state.write("results", round_no, results)
+    # results parquet is both the round output and the barrier for
+    # expansion; ncoalesce keeps a small round from writing one tiny
+    # file per shuffle partition (32+ files for a 1.5k-row round)
+    state.write("results", round_no, results, ncoalesce=_nc(n_new))
     results = state.read("results", round_no)
     if config.adaptive_recrawl:
         # per-url content digest delta: the change signal the adaptive
@@ -700,10 +709,6 @@ def run_round(
     )
 
     # --- commit ---------------------------------------------------------------
-    # file-count discipline: ~100k rows per file, uncapped for huge rounds
-    def _nc(rows: int) -> int | None:
-        return None if rows > 2_000_000 else max(1, rows // 100_000 + 1)
-
     # the four commit tables are mutually independent (all inputs are
     # checkpointed/derived above) — overlap their jobs (§2.6); the
     # manifest commit still happens strictly after ALL of them land
