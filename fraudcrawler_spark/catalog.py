@@ -35,6 +35,11 @@ Re-attempted r5 (2026-08-17 22:35 UTC): ``pip download pyiceberg
 index), ``curl -I repo1.maven.org`` → no response, full-disk find for
 iceberg/delta jars → none. Conclusion unchanged; the probe + the
 documented spark-submit --packages path remain the activation story.
+
+Re-attempted r6 (2026-08-22 02:48 UTC): ``pip download pyiceberg
+--no-deps`` → "No matching distribution found", urllib to
+repo1.maven.org → DNS gaierror(-2), full-disk find for
+iceberg-spark-runtime jars → none. Conclusion unchanged.
 """
 
 from __future__ import annotations

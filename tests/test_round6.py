@@ -39,6 +39,32 @@ def test_cms_no_global_window(spark, sf_dir):
     assert specs and all("_b" in s for s in specs), specs
 
 
+def test_worker_assign_window_over_summary_only(spark, sf_dir):
+    """VERDICT r5 item 6: worker_assign's serpentine rank is a GLOBAL
+    ordering (semantic — the oracle pins it), so its window is
+    legitimately unpartitioned — but it must only ever rank the
+    collapsed per-host summary (10^7 rows at web scale), never the
+    page table. Pin: every Window in the plan sits above the host
+    HashAggregate, and the scan below the windows is the aggregation's
+    output, not pages rows."""
+    from fraudcrawler_spark.conformance_net import q_worker_assign
+
+    p = _plan(spark, q_worker_assign(spark, sf_dir))
+    # the plan is linear here: scan -> ... -> HashAggregate (host
+    # summary) -> sort -> Window(s). Assert the aggregate exists and
+    # appears BELOW the first Window operator in the formatted tree
+    # (higher operator number = deeper in the plan).
+    # formatted-plan numbering: children carry LOWER ids than parents
+    # (the scan is (1)), so "aggregate below every window" means some
+    # HashAggregate id < every Window id
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", p)]
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p)]
+    assert win_ids and agg_ids, p[:400]
+    assert min(agg_ids) < min(win_ids), (
+        "host-summary aggregation must sit below every window"
+    )
+
+
 def test_cms_oracle_dtype_parity(spark, sf_dir):
     """Driver-style compare: pandas dtypes AND values must match between
     Spark (toPandas) and the DuckDB twin (.df()) — the exact surface the
