@@ -263,7 +263,11 @@ def star_components(docs, edges, max_rounds: int = _CC_MAX_ROUNDS,
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint()
+        # eager=False: the fingerprint's full-scan agg right below
+        # materializes the checkpoint in the SAME job — one fewer Spark
+        # job per call, identical truncation semantics (the fingerprint
+        # always computes every partition)
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(df):
@@ -306,7 +310,9 @@ def star_components(docs, edges, max_rounds: int = _CC_MAX_ROUNDS,
             .where(F.col("src") != F.col("dst"))
             .unionByName(mins2.select("src", F.col("m").alias("dst")))
             .distinct()
-            .localCheckpoint()
+            # eager=False: materialized by the fingerprint below (full
+            # scan), saving one job per round
+            .localCheckpoint(eager=False)
         )
         cur = _fingerprint(e)
         if cur == prev:

@@ -97,7 +97,9 @@ def init_crawl(
     items = discover(
         t["pages"], t["seeds"], hosts=t.get("hosts"),
         excluded_hosts=t.get("excluded_hosts"), country_code=config.country_code,
-    )
+    ).localCheckpoint()  # discovery feeds BOTH the frontier and the seed
+    # lineage writes (overlapped below) — materialize once instead of
+    # running the whole pages⨝seeds discovery twice
     flagged = items.where(F.col("filtered"))
     seed_cand = items.where(~F.col("filtered")).select(
         "url",
