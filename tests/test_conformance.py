@@ -74,6 +74,48 @@ def test_oracle_match(spark, sf_dir, name):
         diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
 
+    # Driver-surface dtype pin (VERDICT r5 item 2, class-wide): the
+    # driver's value hash is dtype-sensitive on the pandas surface —
+    # DuckDB surfaces HUGEINT (SUM of BIGINT) as float64 via .df()
+    # while a Spark long collects as int, which is exactly how
+    # cms_hot_shingles went red in r5 with values numerically equal.
+    # Pin per column: the oracle's .df() dtype CLASS must match the
+    # surface Spark's side produces (integral schema stays integral
+    # unless NULLs force pandas to float64). Costs one extra DuckDB
+    # execution per twin and zero extra Spark work.
+    import numpy as np
+
+    pdf_o = res.df()
+    nulls = {
+        c: any(r[i] is None for r in spark_rows)
+        for i, c in enumerate(spark_cols)
+    }
+    for f in sdf.schema.fields:
+        s = f.dataType.simpleString()
+        if s in ("tinyint", "smallint", "int", "bigint"):
+            expect = "float" if nulls[f.name] else "int"
+        elif s in ("float", "double"):
+            expect = "float"
+        elif s == "boolean" and not nulls[f.name]:
+            expect = "bool"
+        else:
+            continue  # strings/dates/decimals/nullable bools: not hash-divergent by class
+        dt = pdf_o[f.name].dtype
+        if np.issubdtype(dt, np.bool_):
+            got = "bool"
+        elif np.issubdtype(dt, np.integer):
+            got = "int"
+        elif np.issubdtype(dt, np.floating):
+            got = "float"
+        else:
+            continue  # object-dtype oracle column (e.g. decimal/None-mix)
+        assert got == expect, (
+            f"{name}.{f.name}: driver-surface dtype class diverges — "
+            f"spark {s} (nulls={nulls[f.name]}) would hash as {expect}, "
+            f"oracle .df() gives {dt} ({got}); cast the Spark column "
+            f"to match the oracle surface (the cms_hot_shingles r5 class)"
+        )
+
 
 @pytest.mark.parametrize("name", sorted(_ROWS_ONLY))
 def test_rows_only_queries_run(spark, sf_dir, name):
